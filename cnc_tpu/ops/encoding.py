@@ -1,0 +1,192 @@
+"""Multiresolution hash-grid encoding (the CNC keystone op).
+
+TPU-native re-design of the reference CUDA encoder (gridencoder/src/
+gridencoder.cu:45-396 forward, :399-585 backward):
+
+  * per level: map points in [0,1]^D to a (R-2)-cell lattice with a one-cell
+    zero border (`pos = x*(R-2)+0.5`), gather the 2^D corners with D-linear
+    weights;
+  * corners touching the border (coord 0 or R-1) are excluded (`zero_flag`,
+    gridencoder.cu:212-219);
+  * when an occupancy grid is given, corners whose +-1-cell footprint maps to
+    an all-empty region are excluded (gridencoder.cu:222-276) — here a 2^D
+    summed-area-table query instead of a cell-walk;
+  * weights are renormalized over surviving corners (`wn_re`,
+    gridencoder.cu:288-310);
+  * hashing matches `fast_hash`/`get_grid_index` bit for bit (ops/hash_ops).
+
+The backward pass (scatter-add of w * wn_re * grad into the table,
+gridencoder.cu:399-585) falls out of JAX autodiff through the gather — XLA
+emits the scatter-add; a Pallas kernel can later replace both directions
+behind the same function signature.
+
+Three entry points mirror the reference GridEncoder's forwards
+(ngp.py:228-315): `grid_encode` (static level range), `grid_encode_diff_levels`
+(per-point min level, one call for mixed-level context batches), and
+`grid_encode_given_table` (external dense table, used by the dimension-wise
+prior lookup).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GridSpec
+from . import hash_ops, sat as sat_ops
+
+
+def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
+                 table: jnp.ndarray, offset, hashmap_size, resolution,
+                 occ_sat: Optional[jnp.ndarray], rb: int):
+    """Shared 2^D-corner gather/renormalize. Static D; resolution/offset may be
+    python ints (static level) or per-point arrays (mixed levels)."""
+    n, d = points.shape
+    f = table.shape[-1]
+    res_is_static = isinstance(resolution, (int, np.integer))
+    if res_is_static:
+        res_m1 = resolution - 1
+    else:
+        res_m1 = (resolution - 1)[:, None]
+
+    acc = jnp.zeros((n, f), dtype=jnp.float32)
+    wn = jnp.zeros((n,), dtype=jnp.float32)
+    for corner in range(1 << d):
+        bits = [(corner >> ax) & 1 for ax in range(d)]
+        cc = []
+        w = jnp.ones((n,), dtype=jnp.float32)
+        for ax in range(d):
+            if bits[ax]:
+                cc.append(jnp.minimum(pg[:, ax] + 1,
+                                      res_m1 if res_is_static else resolution - 1))
+                w = w * frac[:, ax]
+            else:
+                cc.append(pg[:, ax])
+                w = w * (1.0 - frac[:, ax])
+        cc = jnp.stack(cc, axis=-1)  # [N, D] int32
+        zero_flag = jnp.zeros((n,), dtype=bool)
+        for ax in range(d):
+            lim = res_m1 if res_is_static else resolution - 1
+            zero_flag = zero_flag | (cc[:, ax] == 0) | (cc[:, ax] == lim)
+        valid = ~zero_flag
+        if occ_sat is not None:
+            m = sat_ops.occupancy_mask(occ_sat, cc, resolution, rb)
+            valid = valid & m
+        idx = hash_ops.grid_index(cc, resolution, hashmap_size)
+        gidx = jnp.where(valid, idx + (offset if res_is_static else offset), 0)
+        feat = jnp.take(table, gidx, axis=0, mode="clip").astype(jnp.float32)
+        w_eff = jnp.where(valid, w, 0.0)
+        acc = acc + w_eff[:, None] * feat
+        wn = wn + w_eff
+    wn = jnp.where(wn == 0.0, 1e-9, wn)
+    out = acc / wn[:, None]
+    oob = jnp.zeros((n,), dtype=bool)
+    for ax in range(d):
+        oob = oob | (points[:, ax] < 0.0) | (points[:, ax] > 1.0)
+    return jnp.where(oob[:, None], 0.0, out)
+
+
+def _level_setup(points: jnp.ndarray, resolution):
+    if isinstance(resolution, (int, np.integer)):
+        x = points * np.float32(resolution - 2) + 0.5
+    else:
+        x = points * (resolution.astype(jnp.float32) - 2.0)[:, None] + 0.5
+    pg = jnp.floor(x)
+    frac = x - pg
+    return frac, pg.astype(jnp.int32)
+
+
+def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
+                    resolutions: Sequence[int], offsets: Sequence[int],
+                    occ_binary: Optional[jnp.ndarray] = None,
+                    occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Encode against explicit per-level (resolution, offset) lists.
+
+    offsets has len(resolutions)+1 entries; level table size is the diff —
+    matching the raw CUDA call convention (_grid_encode, ngp.py:49-116).
+    """
+    if occ_sat is None and occ_binary is not None:
+        occ_sat = sat_ops.build_sat(occ_binary)
+    rb = (occ_sat.shape[0] - 1) if occ_sat is not None else 0
+    outs = []
+    for li, r in enumerate(resolutions):
+        frac, pg = _level_setup(points, r)
+        hs = offsets[li + 1] - offsets[li]
+        outs.append(_corner_loop(points, frac, pg, table, offsets[li], hs, int(r),
+                                 occ_sat, rb))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
+                min_level: int = 0, max_level: Optional[int] = None,
+                occ_binary: Optional[jnp.ndarray] = None,
+                occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Encode levels [min_level, max_level) of a GridSpec table.
+
+    Args:
+      points: [N, D] in [0, 1].
+      table: [spec.total_entries, F].
+      occ_binary/occ_sat: optional occupancy grid (or its prebuilt SAT) for
+        corner masking; pass the SAT when calling repeatedly per step.
+    Returns:
+      [N, (max_level-min_level) * F] float32, level-major feature blocks.
+    """
+    min_level = max(min_level, 0)
+    max_level = spec.n_levels if max_level is None else min(max_level, spec.n_levels)
+    res = spec.resolutions[min_level:max_level]
+    offs = spec.offsets[min_level:max_level + 1]
+    return encode_explicit(points, table, res, offs, occ_binary, occ_sat)
+
+
+def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
+                            spec: GridSpec, min_level_ids: jnp.ndarray,
+                            n_levels_calc: int,
+                            occ_binary: Optional[jnp.ndarray] = None,
+                            occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-point mixed-level encode (GridEncoder.forward_diff_levels).
+
+    Point i contributes levels min_level_ids[i] .. min_level_ids[i]+J-1 in one
+    call — the mixed-level batch trick the CUDA kernel supports through its
+    `min_level_id` tensor (gridencoder.cu:120-126).
+    """
+    if occ_sat is None and occ_binary is not None:
+        occ_sat = sat_ops.build_sat(occ_binary)
+    rb = (occ_sat.shape[0] - 1) if occ_sat is not None else 0
+    res_arr = jnp.asarray(spec.resolutions, dtype=jnp.int32)
+    off_arr = jnp.asarray(spec.offsets[:-1], dtype=jnp.int32)
+    hs_arr = jnp.asarray(
+        [spec.offsets[i + 1] - spec.offsets[i] for i in range(spec.n_levels)],
+        dtype=jnp.int32)
+    outs = []
+    for j in range(n_levels_calc):
+        lvl = jnp.clip(min_level_ids + j, 0, spec.n_levels - 1)
+        r = res_arr[lvl]
+        off = off_arr[lvl]
+        hs = hs_arr[lvl]
+        frac, pg = _level_setup(points, r)
+        out = _corner_loop(points, frac, pg, table, off, hs, r, occ_sat, rb)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def grid_encode_given_table(points: jnp.ndarray, table: jnp.ndarray,
+                            resolution: int,
+                            occ_binary: Optional[jnp.ndarray] = None,
+                            occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """One-level dense-table encode (GridEncoder.forward_given_params).
+
+    Used for the dimension-wise prior: `table` is a dense [resolution**2, F]
+    plane (e.g. the padded 514x514 sign-fraction map) flattened row-major with
+    x fastest — i.e. flat = x + y*resolution, matching get_grid_index's dense
+    ordering.  (The reference flattens its [514,514,F] map in torch's y-fastest
+    order and then indexes it x-fastest, i.e. it reads the transposed map —
+    utils_bpp_acc.py:528 vs gridencoder.cu:72-77.  We keep the orientation
+    consistent instead; both codec sides use the same layout so the stream
+    stays lossless.)
+    """
+    n_lvl_entries = table.shape[0]
+    return encode_explicit(points, table, [resolution], [0, n_lvl_entries],
+                           occ_binary, occ_sat)
