@@ -1,0 +1,140 @@
+"""Occupancy-grid transmittance estimator.
+
+Functional JAX re-design of the reference OccGridEstimator
+(nerfacc/estimators/occ_grid.py:14-443): a binary voxel grid maintained by
+EMA-max density updates every N steps, binarized at
+min(mean(occs >= 0), occ_thre), feeding both the ray marcher (spatial
+skipping) and the entropy context models (CNC's occupancy prior).
+
+State is an explicit pytree (no module object); every update is a pure
+function suitable for jit.  Cell sampling differs from the reference only in
+how "occupied" cells are drawn: the reference draws N cells uniformly from the
+occupied list with replacement (occ_grid.py:364-384); we draw N uniform cells
+and mask the update to occupied ones — same refresh pressure, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+
+
+class OccGridState(NamedTuple):
+    occs: jnp.ndarray      # [cells] float32; -1 marks camera-invisible cells
+    binaries: jnp.ndarray  # [R, R, R] bool
+    resolution: int
+    aabb: jnp.ndarray      # [6]
+
+
+def init_occ_grid(aabb, resolution: int = 128) -> OccGridState:
+    cells = resolution ** 3
+    return OccGridState(
+        occs=jnp.zeros((cells,), jnp.float32),
+        binaries=jnp.zeros((resolution,) * 3, bool),
+        resolution=resolution,
+        aabb=jnp.asarray(aabb, jnp.float32),
+    )
+
+
+def _cell_coords(indices: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    x = indices // (resolution * resolution)
+    y = (indices // resolution) % resolution
+    z = indices % resolution
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _cells_to_world(coords, key, state: OccGridState) -> jnp.ndarray:
+    # jitter within the cell (occ_grid.py:405-408)
+    u = jax.random.uniform(key, coords.shape)
+    x01 = (coords.astype(jnp.float32) + u) / state.resolution
+    lo, hi = state.aabb[:3], state.aabb[3:]
+    return lo + x01 * (hi - lo)
+
+
+def _binarize(occs: jnp.ndarray, shape, occ_thre: float) -> jnp.ndarray:
+    visible = occs >= 0
+    mean_occ = jnp.sum(jnp.where(visible, occs, 0.0)) / jnp.maximum(
+        jnp.sum(visible), 1)
+    thre = jnp.minimum(mean_occ, occ_thre)
+    return (occs > thre).reshape(shape)
+
+
+def update_occ_grid(state: OccGridState, key, occ_eval_fn: Callable,
+                    step_is_warmup: bool, cfg: RenderConfig) -> OccGridState:
+    """One EMA update (occ_grid.py:387-424).
+
+    occ_eval_fn: [N,3] world positions -> [N] occupancy values
+    (density * render_step_size in the CNC drivers).
+    step_is_warmup is a python bool -> two compiled variants.
+    """
+    cells = state.resolution ** 3
+    k_sel, k_jit = jax.random.split(key)
+    if step_is_warmup:
+        indices = jnp.arange(cells)
+        sel_mask = state.occs >= 0  # skip camera-invisible cells
+    else:
+        n = cells // 4
+        k_u, k_o = jax.random.split(k_sel)
+        uniform_idx = jax.random.randint(k_u, (n,), 0, cells)
+        occupied_cand = jax.random.randint(k_o, (n,), 0, cells)
+        indices = jnp.concatenate([uniform_idx, occupied_cand])
+        occ_flat = state.binaries.reshape(-1)
+        sel_mask = jnp.concatenate([
+            state.occs[uniform_idx] >= 0,
+            (state.occs[occupied_cand] >= 0) & occ_flat[occupied_cand],
+        ])
+    coords = _cell_coords(indices, state.resolution)
+    x = _cells_to_world(coords, k_jit, state)
+    occ_new = occ_eval_fn(x).reshape(-1)
+
+    # dense masked EMA-max: occs[sel] = max(occs[sel]*decay, occ_new)
+    upd = jnp.zeros_like(state.occs).at[indices].max(
+        jnp.where(sel_mask, occ_new, -jnp.inf))
+    touched = jnp.zeros_like(state.occs, dtype=bool).at[indices].max(sel_mask)
+    occs = jnp.where(touched,
+                     jnp.maximum(state.occs * cfg.occ_ema_decay, upd),
+                     state.occs)
+    binaries = _binarize(occs, state.binaries.shape, cfg.occ_thre)
+    return state._replace(occs=occs, binaries=binaries)
+
+
+def mark_invisible_cells(state: OccGridState, K: jnp.ndarray,
+                         c2w: jnp.ndarray, width: int, height: int,
+                         near_plane: float = 0.0) -> OccGridState:
+    """Set density -1 for cells no training camera sees (occ_grid.py:281-350)."""
+    res = state.resolution
+    cells = res ** 3
+    coords = _cell_coords(jnp.arange(cells), res)
+    x01 = coords.astype(jnp.float32) / (res - 1)
+    lo, hi = state.aabb[:3], state.aabb[3:]
+    xyz_w = lo + x01 * (hi - lo)                       # [C, 3]
+
+    w2c_r = jnp.swapaxes(c2w[:, :3, :3], 1, 2)          # [N, 3, 3]
+    w2c_t = -jnp.einsum("nij,nj->ni", w2c_r, c2w[:, :3, 3])  # [N, 3]
+    xyz_c = jnp.einsum("nij,cj->nci", w2c_r, xyz_w) + w2c_t[:, None]  # [N,C,3]
+    if K.shape[0] == 1:
+        K = jnp.broadcast_to(K, (c2w.shape[0], 3, 3))
+    uvd = jnp.einsum("nij,ncj->nci", K, xyz_c)
+    uv = uvd[..., :2] / jnp.where(uvd[..., 2:] == 0, 1e-9, uvd[..., 2:])
+    in_image = ((uvd[..., 2] >= 0) & (uv[..., 0] >= 0) & (uv[..., 0] < width)
+                & (uv[..., 1] >= 0) & (uv[..., 1] < height))
+    covered = (uvd[..., 2] >= near_plane) & in_image
+    too_near = (uvd[..., 2] < near_plane) & in_image
+    valid = covered.any(axis=0) & ~too_near.any(axis=0)
+    occs = jnp.where(valid, 0.0, -1.0)
+    return state._replace(occs=occs)
+
+
+def occupancy_grid_size_bits(binaries: jnp.ndarray):
+    """Analytic rate of the occupancy grid itself (driver get_binary_vxl_size,
+    train_CNC_nerf_synthetic.py:53-68)."""
+    ttl = binaries.size
+    pos = jnp.sum(binaries)
+    pg = pos / ttl
+    pos_bit = pos * (-jnp.log2(jnp.maximum(pg, 1e-12)))
+    neg_bit = (ttl - pos) * (-jnp.log2(jnp.maximum(1 - pg, 1e-12)))
+    return pg, pos_bit + neg_bit + 32.0, ttl

@@ -1,0 +1,131 @@
+"""Training and evaluation renderers.
+
+Mirrors the reference's two paths:
+  * training: single-pass budgeted render (render_image_with_occgrid,
+    examples/utils.py:83-216) — march, compact to a static sample budget,
+    evaluate the field once, composite;
+  * evaluation: iterative alive-ray renderer (render_image_with_occgrid_test,
+    utils.py:316-489) — repeatedly march from per-ray cursors with a bounded
+    per-round sample budget, composite incrementally with carried
+    transmittance (prefix_trans = 1 - opacity), stop rays at opacity >
+    1 - early_stop_eps, all inside one jitted lax.while_loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, RenderConfig
+from ..models import radiance_field as rf
+from . import marching, volrend
+
+
+def render_rays_train(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
+                      aabb: jnp.ndarray, binaries: jnp.ndarray,
+                      rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                      key: jnp.ndarray, render_bkgd: jnp.ndarray,
+                      capacity: Optional[int] = None,
+                      tables: Optional[Dict] = None) -> volrend.RenderedRays:
+    """One training render pass over a ray batch."""
+    cap = capacity or rcfg.sample_capacity
+    samples = marching.march_rays(rays_o, rays_d, binaries, aabb, key, rcfg, cap)
+    pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
+    rgbs, sigmas = rf.forward(params, mcfg, aabb, pos, dirs, tables=tables)
+    return volrend.composite(rgbs, sigmas, samples, rays_o.shape[0],
+                             render_bkgd, rcfg.early_stop_eps)
+
+
+def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
+                     aabb: jnp.ndarray, binaries: jnp.ndarray,
+                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                     render_bkgd: jnp.ndarray,
+                     round_capacity: int = 65536,
+                     max_rounds: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                    jnp.ndarray]:
+    """Iterative exact eval renderer for one ray chunk.
+
+    Returns (rgb [R,3], opacity [R,1], depth [R,1]).
+    """
+    r = rays_o.shape[0]
+    tables = rf.quantized_tables(params, mcfg)
+    opc_thre = 1.0 - rcfg.early_stop_eps
+
+    def cond(state):
+        i, rgb, opacity, depth, cursor, alive = state
+        return (i < max_rounds) & jnp.any(alive)
+
+    def body(state):
+        i, rgb, opacity, depth, cursor, alive = state
+        samples = marching.march_rays(rays_o, rays_d, binaries, aabb, None,
+                                      rcfg, round_capacity, ray_mask=alive,
+                                      t_start=cursor)
+        pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
+        rgbs, sigmas = rf.forward(params, mcfg, aabb, pos, dirs, tables=tables)
+        out = volrend.composite(rgbs, sigmas, samples, r,
+                                render_bkgd=None,
+                                early_stop_eps=rcfg.early_stop_eps,
+                                prefix_trans=1.0 - opacity[:, 0])
+        rgb = rgb + out.rgb
+        opacity = opacity + out.opacity
+        depth = depth + out.depth
+
+        # advance cursors: rays whose hits all fit are done this round;
+        # truncated rays resume after their last compacted sample
+        hits_per_ray = jax.ops.segment_sum(
+            samples.valid.astype(jnp.int32), samples.ray_id, num_segments=r,
+            indices_are_sorted=True)
+        last_t = jax.ops.segment_max(
+            jnp.where(samples.valid, samples.t_mid, -jnp.inf),
+            samples.ray_id, num_segments=r, indices_are_sorted=True)
+        truncated = samples.num_samples > round_capacity
+        # compaction keeps hits in (ray, t) order, so under truncation only
+        # rays strictly before the last kept sample's ray are complete; that
+        # ray itself resumes at its cursor, and later rays are untouched
+        last_ray = samples.ray_id[round_capacity - 1]
+        ray_done = jnp.where(truncated, jnp.arange(r) < last_ray, True)
+        new_cursor = jnp.where(
+            hits_per_ray > 0, jnp.maximum(cursor, last_t + samples.dt * 0.5),
+            cursor)
+        alive = alive & ~ray_done & (opacity[:, 0] <= opc_thre)
+        return i + 1, rgb, opacity, depth, new_cursor, alive
+
+    state0 = (jnp.int32(0), jnp.zeros((r, 3)), jnp.zeros((r, 1)),
+              jnp.zeros((r, 1)), jnp.full((r,), rcfg.near_plane),
+              jnp.ones((r,), bool))
+    _, rgb, opacity, depth, _, _ = jax.lax.while_loop(cond, body, state0)
+    rgb = rgb + render_bkgd * (1.0 - opacity)
+    depth = depth / jnp.clip(opacity, min=1e-10)
+    return rgb, opacity, depth
+
+
+def render_image(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
+                 aabb, binaries, rays_o, rays_d, render_bkgd,
+                 chunk: Optional[int] = None,
+                 _jitted_cache={}):
+    """Host-side loop rendering a full image in chunks via render_rays_eval."""
+    h, w = rays_o.shape[:2]
+    n = h * w
+    chunk = chunk or rcfg.eval_chunk_rays
+    o = rays_o.reshape(-1, 3)
+    d = rays_d.reshape(-1, 3)
+    pad = (-n) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
+    fn = _jitted_cache.get((id(mcfg), chunk))
+    if fn is None:
+        fn = jax.jit(functools.partial(render_rays_eval, mcfg=mcfg, rcfg=rcfg))
+        _jitted_cache[(id(mcfg), chunk)] = fn
+    outs = []
+    for i in range(0, o.shape[0], chunk):
+        outs.append(fn(params, aabb=aabb, binaries=binaries,
+                       rays_o=o[i:i + chunk], rays_d=d[i:i + chunk],
+                       render_bkgd=render_bkgd))
+    rgb = jnp.concatenate([x[0] for x in outs])[:n].reshape(h, w, 3)
+    opacity = jnp.concatenate([x[1] for x in outs])[:n].reshape(h, w, 1)
+    depth = jnp.concatenate([x[2] for x in outs])[:n].reshape(h, w, 1)
+    return rgb, opacity, depth

@@ -1,0 +1,73 @@
+"""Volume rendering over compacted sample buffers.
+
+Math follows nerfacc/volrend.py: transmittance from density in log space
+(T_i = exp(-sum_{j<i} sigma_j * dt_j), volrend.py:261-263), weights
+w_i = T_i * (1 - exp(-sigma_i dt_i)), accumulation by scatter-add
+(accumulate_along_rays, volrend.py:485-549).  Samples arrive sorted
+per-ray-contiguous from the marcher, so prefix sums are contiguous segment
+scans (ops/scan.py) and accumulation is a sorted segment_sum.
+
+Visibility pruning (render_visibility_from_density, volrend.py:424-482) is
+expressed as weight masking: samples whose transmittance fell below
+early_stop_eps are zeroed; the reference instead drops them and recomputes,
+but every dropped sample only precedes other dropped samples, so the results
+coincide.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import scan as scan_ops
+from .marching import RaySamples
+
+
+class RenderedRays(NamedTuple):
+    rgb: jnp.ndarray       # [R, 3]
+    opacity: jnp.ndarray   # [R, 1]
+    depth: jnp.ndarray     # [R, 1]
+    n_rendering_samples: jnp.ndarray  # scalar: visible samples (for dynamic batching)
+
+
+def render_weights(sigmas: jnp.ndarray, samples: RaySamples,
+                   early_stop_eps: float = 1e-4,
+                   prefix_trans: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample rendering weights, transmittance, alpha.
+
+    prefix_trans: optional [R] carried transmittance (iterative eval renderer,
+    utils.py:440 `prefix_trans = 1 - opacity`).
+    """
+    sdt = jnp.where(samples.valid, sigmas * samples.dt, 0.0)
+    prefix = scan_ops.segment_exclusive_sum(sdt, samples.ray_id)
+    trans = jnp.exp(-prefix)
+    if prefix_trans is not None:
+        trans = trans * prefix_trans[samples.ray_id]
+    alpha = 1.0 - jnp.exp(-sdt)
+    visible = (trans >= early_stop_eps) & samples.valid
+    weights = jnp.where(visible, trans * alpha, 0.0)
+    return weights, trans, visible
+
+
+def composite(rgbs: jnp.ndarray, sigmas: jnp.ndarray, samples: RaySamples,
+              n_rays: int, render_bkgd: Optional[jnp.ndarray] = None,
+              early_stop_eps: float = 1e-4,
+              prefix_trans: Optional[jnp.ndarray] = None) -> RenderedRays:
+    """Full compositing pass (nerfacc `rendering`, volrend.py:14-160)."""
+    weights, _, visible = render_weights(sigmas, samples, early_stop_eps,
+                                         prefix_trans)
+    seg = samples.ray_id
+    rgb = jax.ops.segment_sum(weights[:, None] * rgbs, seg,
+                              num_segments=n_rays, indices_are_sorted=True)
+    opacity = jax.ops.segment_sum(weights, seg, num_segments=n_rays,
+                                  indices_are_sorted=True)[:, None]
+    depth = jax.ops.segment_sum(weights * samples.t_mid, seg,
+                                num_segments=n_rays,
+                                indices_are_sorted=True)[:, None]
+    if render_bkgd is not None:
+        rgb = rgb + render_bkgd * (1.0 - opacity)
+    return RenderedRays(rgb=rgb, opacity=opacity, depth=depth,
+                        n_rendering_samples=jnp.sum(visible))

@@ -1,0 +1,213 @@
+"""Marching + volume rendering tests against a brute-force analytic oracle."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnc_tpu.config import ModelConfig, RenderConfig
+from cnc_tpu.data import cameras, scenes
+from cnc_tpu.grids import occupancy as occ
+from cnc_tpu.models import radiance_field as rf
+from cnc_tpu.render import marching, volrend, renderer
+
+
+RCFG = dataclasses.replace(RenderConfig(), render_step_size=0.02,
+                           occ_resolution=64, sample_budget=8192)
+SCENE = scenes.make_scene("sphere")
+AABB = jnp.asarray(SCENE.aabb)
+
+
+def occupancy_from_scene(scene, res, dt, thre=1e-2):
+    """Binary grid from the analytic density (what a converged estimator sees)."""
+    g = jnp.arange(res, dtype=jnp.float32)
+    lo, hi = jnp.asarray(scene.aabb[:3]), jnp.asarray(scene.aabb[3:])
+    xs = (jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"), -1) + 0.5) / res
+    pts = lo + xs.reshape(-1, 3) * (hi - lo)
+    sig = scene.sigma_fn(pts).reshape(res, res, res)
+    return sig * dt > thre
+
+
+class TestAabb:
+    def test_hit_and_miss(self):
+        o = jnp.array([[0.0, 0.0, -5.0], [5.0, 5.0, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        tmin, tmax = marching.ray_aabb_intersect(o, d, AABB)
+        np.testing.assert_allclose(np.asarray(tmin)[0], 3.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tmax)[0], 6.5, atol=1e-5)
+        assert float(tmin[1]) > float(tmax[1])  # miss
+
+
+class TestMarch:
+    def test_samples_sorted_and_occupied(self):
+        binaries = occupancy_from_scene(SCENE, 64, RCFG.render_step_size)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 64, 64)
+        o = rays.origins.reshape(-1, 3)[::16]
+        d = rays.viewdirs.reshape(-1, 3)[::16]
+        s = marching.march_rays(o, d, binaries, AABB, None, RCFG, 16384)
+        rid = np.asarray(s.ray_id)
+        val = np.asarray(s.valid)
+        t = np.asarray(s.t_mid)
+        assert val.sum() > 100
+        assert np.all(np.diff(rid[val]) >= 0)  # sorted by ray
+        # t ascending within each ray
+        same = np.diff(rid[val]) == 0
+        assert np.all(np.diff(t[val])[same] > 0)
+        # all valid samples are in occupied voxels
+        pos, _ = marching.sample_positions(s, o, d)
+        occb = np.asarray(marching.occupancy_lookup(pos, binaries, AABB))
+        assert np.all(occb[val])
+
+    def test_capacity_truncation(self):
+        binaries = jnp.ones((64, 64, 64), bool)
+        o = jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (4, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+        s = marching.march_rays(o, d, binaries, AABB, None, RCFG, 64)
+        assert int(s.num_samples) > 64
+        assert int(s.valid.sum()) == 64
+        # first capacity hits belong to the first ray(s)
+        assert int(s.ray_id[0]) == 0
+
+    def test_stratified_jitter_changes_t(self):
+        binaries = jnp.ones((64, 64, 64), bool)
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        s1 = marching.march_rays(o, d, binaries, AABB,
+                                 jax.random.PRNGKey(0), RCFG, 32)
+        s2 = marching.march_rays(o, d, binaries, AABB,
+                                 jax.random.PRNGKey(1), RCFG, 32)
+        assert not np.allclose(np.asarray(s1.t_mid), np.asarray(s2.t_mid))
+
+
+class TestComposite:
+    def test_matches_dense_renderer(self):
+        """Occupancy-pruned budgeted rendering ~= dense brute force."""
+        binaries = occupancy_from_scene(SCENE, 64, RCFG.render_step_size,
+                                        thre=1e-3)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[60.0, 0, 24], [0, 60.0, 24], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 48, 48)
+        o = rays.origins.reshape(-1, 3)
+        d = rays.viewdirs.reshape(-1, 3)
+        gt, gt_op = scenes.render_gt_rays(SCENE, o, d, n_steps=2048)
+
+        s = marching.march_rays(o, d, binaries, AABB, None, RCFG, 1 << 17)
+        assert int(s.num_samples) < (1 << 17)
+        pos, _ = marching.sample_positions(s, o, d)
+        sig = SCENE.sigma_fn(pos)
+        col = SCENE.rgb_fn(pos)
+        out = volrend.composite(col, sig, s, o.shape[0],
+                                render_bkgd=jnp.ones(3))
+        err = np.abs(np.asarray(out.rgb) - np.asarray(gt)).mean()
+        assert err < 0.03, err
+
+    def test_weights_docstring_example(self):
+        """nerfacc render_weight_from_density example (volrend.py)."""
+        t = jnp.array([0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5])
+        rid = jnp.array([0, 0, 0, 1, 1, 2, 2])
+        sig = jnp.array([0.4, 0.8, 0.1, 0.8, 0.1, 0.0, 0.9])
+        s = marching.RaySamples(ray_id=rid, t_mid=t, dt=jnp.float32(1.0),
+                                valid=jnp.ones(7, bool),
+                                num_samples=jnp.int32(7))
+        w, trans, _ = volrend.render_weights(sig, s, early_stop_eps=0.0)
+        np.testing.assert_allclose(
+            np.asarray(trans), [1.0, 0.67, 0.3, 1.0, 0.45, 1.0, 1.0],
+            atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(w), [0.33, 0.37, 0.03, 0.55, 0.04, 0.0, 0.59],
+            atol=5e-3)
+
+
+class TestOccupancyGrid:
+    def test_update_and_binarize(self):
+        state = occ.init_occ_grid(AABB, 32)
+        fn = lambda x: SCENE.sigma_fn(x) * RCFG.render_step_size
+        cfg = dataclasses.replace(RCFG, occ_resolution=32)
+        state = occ.update_occ_grid(state, jax.random.PRNGKey(0), fn, True, cfg)
+        assert bool(state.binaries.any())
+        occ_frac = float(state.binaries.mean())
+        assert 0.001 < occ_frac < 0.2
+        # occupied cells concentrate near the sphere of radius .5
+        idx = np.argwhere(np.asarray(state.binaries))
+        centers = (idx + 0.5) / 32 * 3.0 - 1.5
+        assert np.linalg.norm(centers, axis=-1).max() < 0.8
+
+    def test_ema_decay_clears_stale(self):
+        state = occ.init_occ_grid(AABB, 32)
+        cfg = dataclasses.replace(RCFG, occ_resolution=32)
+        fn_on = lambda x: jnp.full(x.shape[:-1], 1.0)
+        fn_off = lambda x: jnp.zeros(x.shape[:-1])
+        state = occ.update_occ_grid(state, jax.random.PRNGKey(0), fn_on, True, cfg)
+        assert bool(state.binaries.all())
+        for i in range(200):
+            state = occ.update_occ_grid(state, jax.random.PRNGKey(i + 1),
+                                        fn_off, True, cfg)
+        assert float(state.occs.max()) < 1e-4
+
+    def test_mark_invisible(self):
+        state = occ.init_occ_grid(AABB, 16)
+        # one camera looking at origin; cells far behind it invisible.
+        # mark_invisible_cells expects OpenCV-convention poses (+z forward),
+        # like the reference (occ_grid.py:281-350, used by real-capture
+        # drivers): flip the y/z axes of the OpenGL look-at pose.
+        pose_gl = cameras.look_at_poses(1, radius=3.0)[0]
+        pose_gl[:3, 1] *= -1
+        pose_gl[:3, 2] *= -1
+        pose = jnp.asarray(pose_gl)[None]
+        K = jnp.asarray([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1]])[None]
+        state = occ.mark_invisible_cells(state, K, pose, 32, 32)
+        assert float((state.occs < 0).mean()) > 0.1
+        assert float((state.occs >= 0).mean()) > 0.1
+
+
+class TestModelSmoke:
+    def test_forward_and_grad_finite(self):
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=64,
+                           resolutions_3d=(10, 18, 34),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=10,
+                           pe_num_freqs=4)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), mcfg)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (256, 3),
+                                 minval=-1.4, maxval=1.4)
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (256, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        def loss(p):
+            rgb, sig = rf.forward(p, mcfg, AABB, pos, dirs)
+            return jnp.sum(rgb) + jnp.sum(sig)
+
+        val, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        leaves = jax.tree.leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # STE: hash-table grads flow despite binarization
+        assert float(jnp.abs(g["xyz"]).sum()) > 0
+
+    def test_train_and_eval_renderers_agree(self):
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=64,
+                           resolutions_3d=(10, 18, 34),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=10,
+                           pe_num_freqs=4)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), mcfg)
+        binaries = jnp.ones((16, 16, 16), bool)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 16, 16)
+        o = rays.origins.reshape(-1, 3)
+        d = rays.viewdirs.reshape(-1, 3)
+        bkgd = jnp.ones(3)
+        out = renderer.render_rays_train(params, mcfg, RCFG, AABB, binaries,
+                                         o, d, None, bkgd, capacity=1 << 16)
+        rgb_e, op_e, _ = renderer.render_rays_eval(
+            params, mcfg, RCFG, AABB, binaries, o, d, bkgd,
+            round_capacity=4096, max_rounds=32)
+        assert np.all(np.isfinite(np.asarray(out.rgb)))
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_e),
+                                   atol=2e-2)
