@@ -150,6 +150,21 @@ class EntropyConfig:
     # encode/decode vertex budget per chunk (reference MAX_POINTS_NUM_TO_OOM=20M;
     # we default lower to fit comfortably in 16GB TPU HBM)
     max_points_per_chunk: int = 8_000_000
+    # --- TPU static-shape / sampling knobs (adaptations; encode/decode are
+    # always full-coverage so the bitstream is unaffected) ---
+    # capacity of the dilated-coordinate list behind the dimension-wise prior
+    # (reference keeps the exact dynamic list, utils_bpp_acc.py:498-512)
+    pn_coords_cap: int = 1 << 24
+    # training-time stride-sample of that list (None = full, like reference)
+    pn_frac_sample_cap: Optional[int] = 1 << 21
+    # propagate gradients through the dimension-wise prior during training
+    # (the reference does; default off here to skip its scatter-heavy backward)
+    pn_frac_grad: bool = False
+    # training-time 2D entry-window sampling (None = full lattice per step,
+    # which is the reference behavior)
+    sample_num_2d: Optional[int] = 65536
+    # budget of occupancy-masked vertices entering the 3D context model per step
+    v_ctx_cap: int = 1 << 22
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,8 +26,12 @@ from ..config import RenderConfig
 class OccGridState(NamedTuple):
     occs: jnp.ndarray      # [cells] float32; -1 marks camera-invisible cells
     binaries: jnp.ndarray  # [R, R, R] bool
-    resolution: int
     aabb: jnp.ndarray      # [6]
+
+    @property
+    def resolution(self) -> int:
+        # static under jit (derived from shape, not a traced leaf)
+        return self.binaries.shape[0]
 
 
 def init_occ_grid(aabb, resolution: int = 128) -> OccGridState:
@@ -35,7 +39,6 @@ def init_occ_grid(aabb, resolution: int = 128) -> OccGridState:
     return OccGridState(
         occs=jnp.zeros((cells,), jnp.float32),
         binaries=jnp.zeros((resolution,) * 3, bool),
-        resolution=resolution,
         aabb=jnp.asarray(aabb, jnp.float32),
     )
 

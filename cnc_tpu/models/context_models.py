@@ -1,0 +1,846 @@
+"""CNC context models: level-wise + occupancy + dimension-wise priors.
+
+TPU-native re-design of CNC_context_models (reference examples/
+utils_bpp_acc.py:193-706).  The reference materializes ragged per-hash-entry
+vertex groups with CUDA pack/align kernels; here every ragged structure is
+precomputed once on the host into *static sorted tables* (vertex lists sorted
+by hash entry, with per-vertex entry ordinals), so the per-step work is pure
+gather / segmented-scan / dense math under jit:
+
+  * 3D context levels: per step a random contiguous window of entries is
+    sampled per level (utils_bpp_acc.py:631-634); its vertex window is a
+    dynamic_slice of the static sorted vertex table, masked by the occupancy
+    prior, compacted to a static budget, context-encoded at mixed levels in
+    one call, pooled per entry by overlap-area weights, and billed with the
+    Bernoulli model, extrapolated to the full table (:700).
+  * occupancy masks and overlap-area weights come from dense per-level grids
+    rebuilt every occupancy refresh with separable SAT pools — replacing the
+    per-vertex cell walks of query_mask_3D (aligner_kernel.cu:162-242).
+  * 2D tri-plane levels: the reference enumerates (T+2)^2 lattice blocks of
+    occupied projection cells (fetch_2D_batches, :431-456); the full block
+    lattice is static, so it is precomputed sorted-by-entry once, and per step
+    the occupied-block validity is a single gather — optionally window-sampled
+    like the 3D levels (a TPU adaptation; encode/decode always use full
+    coverage).
+  * the dimension-wise prior (sign histogram of the finest 3D level projected
+    to a plane, _cnt_np_embed / gridencoder.cu:873-1019) uses a coord list
+    sorted by projected bin, making the histogram a cumsum + boundary
+    difference instead of an atomic scatter.
+
+Skip levels and levels beyond Pg_level are billed at the level's global
+Bernoulli probability (get_BiRF_wentropy_leveln, :472-486).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EntropyConfig, GridSpec
+from ..ops import encoding as enc
+from ..ops import entropy as ent_ops
+from ..ops import hash_ops
+from ..ops import sat as sat_ops
+
+
+# --------------------------------------------------------------------------
+# straight-through positive-sign indicator used by the dimension-wise prior:
+# forward counts entries > 0.9 like cnt_np_embed_kernel (gridencoder.cu:909),
+# backward routes gradient only to positive entries (cu:1011-1018).
+@jax.custom_vjp
+def _pos_indicator(e):
+    return (e > 0.9).astype(jnp.float32)
+
+
+def _pos_indicator_fwd(e):
+    return _pos_indicator(e), e
+
+
+def _pos_indicator_bwd(e, g):
+    return (jnp.where(e > 0.9, g, 0.0),)
+
+
+_pos_indicator.defvjp(_pos_indicator_fwd, _pos_indicator_bwd)
+
+
+def _leaky_relu(x):
+    return jax.nn.leaky_relu(x, 0.01)
+
+
+def _linear_init(key, fan_in, fan_out):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {"w": jax.random.uniform(kw, (fan_in, fan_out), minval=-bound,
+                                    maxval=bound),
+            "b": jax.random.uniform(kb, (fan_out,), minval=-bound,
+                                    maxval=bound)}
+
+
+class Level3DTable(NamedTuple):
+    """Static per-level vertex->entry structure (utils_bpp_acc.py:296-348)."""
+    level: int
+    resolution: int
+    offset: int
+    n_entries: int
+    n_vertices: int
+    sample_n: int
+    max_win_pts: int
+    pos_flat: jnp.ndarray      # [V] int32 flat coord (x*R^2 + y*R + z), sorted by entry
+    vert_entry: jnp.ndarray    # [V] int32 entry ordinal of each vertex
+    entry_values: jnp.ndarray  # [E] int32 level-local entry index
+    counts: jnp.ndarray        # [E] int32
+    cum: jnp.ndarray           # [E+1] int32
+
+
+class Level2DTable(NamedTuple):
+    """Static block-lattice structure shared by the three planes."""
+    level: int
+    resolution: int
+    offset: int
+    tile: int                  # T = (res-2)/Rb
+    n_points: int
+    n_entries: int
+    sample_n: int
+    max_win_pts: int
+    coords: jnp.ndarray        # [P] int32 packed (x<<16 | y), sorted by entry
+    block_id: jnp.ndarray      # [P] int32 flat occupied-projection cell id
+    vert_entry: jnp.ndarray    # [P] int32 entry ordinal
+    entry_values: jnp.ndarray  # [E] int32 level-local entry index
+    counts: jnp.ndarray
+    cum: jnp.ndarray
+
+
+def _segment_tail_values(x: jnp.ndarray, seg: jnp.ndarray, valid: jnp.ndarray,
+                         num_segments: int):
+    """Per-segment sums of x (masked by valid) over sorted contiguous seg ids.
+
+    Uses a segmented inclusive scan + tail scatter (unique indices) instead of
+    a general scatter-add: only num_segments elements are scattered.
+    Returns [num_segments, ...] sums (zero where no valid element).
+    """
+    xm = jnp.where(valid[(...,) + (None,) * (x.ndim - 1)], x, 0.0)
+    head = jnp.concatenate([jnp.ones((1,), bool), seg[1:] != seg[:-1]])
+
+    def comb(a, b):
+        (va, fa), (vb, fb) = a, b
+        f = fb if vb.ndim == 1 else fb[:, None]
+        return jnp.where(f, vb, va + vb), fa | fb
+
+    vs, _ = jax.lax.associative_scan(comb, (xm, head))
+    tail = jnp.concatenate([seg[1:] != seg[:-1], jnp.ones((1,), bool)])
+    out_shape = (num_segments,) + x.shape[1:]
+    seg_safe = jnp.where(tail, seg, num_segments)  # dropped when not a tail
+    return jnp.zeros(out_shape, x.dtype).at[seg_safe].add(
+        jnp.where(tail[(...,) + (None,) * (x.ndim - 1)], vs, 0.0),
+        mode="drop", unique_indices=True)
+
+
+class ContextModels:
+    """CNC entropy model over four binarized hash tables.
+
+    Hosts the static tables, the jit-refreshed occupancy cache, the training
+    rate estimate (differentiable), and the full-coverage probability
+    computation used by the codec.
+    """
+
+    def __init__(self, ecfg: EntropyConfig, spec3: GridSpec, spec2: GridSpec):
+        self.cfg = ecfg
+        self.spec3 = spec3
+        self.spec2 = spec2
+        self.rb = ecfg.Rb
+        f = ecfg.n_features
+        assert spec3.n_features == f and spec2.n_features == f
+
+        pg3 = ecfg.Pg_level
+        if pg3 < 0 or pg3 >= spec3.n_levels:
+            pg3 = spec3.n_levels
+        pg3 = max(pg3, 1)
+        self.pg_level = pg3
+        pg2 = ecfg.Pg_level_2D
+        if pg2 < 0 or pg2 >= spec2.n_levels:
+            pg2 = spec2.n_levels
+        pg2 = max(pg2, 1)
+        self.pg_level_2d = pg2
+
+        self.ctx_levels_3d = [l for l in range(pg3)
+                              if l not in ecfg.skip_levels_3d]
+        # context encodes read the k strictly-coarser levels (utils_bpp_acc.py
+        # :684-685); the reference guarantees l >= k via its skip levels
+        for l in self.ctx_levels_3d:
+            if l < ecfg.max_context_layer_num:
+                raise ValueError(
+                    f"3D context level {l} < max_context_layer_num "
+                    f"{ecfg.max_context_layer_num}; add it to skip_levels_3d")
+        self.ctx_levels_2d = [l for l in range(pg2)
+                              if l not in ecfg.skip_levels_2d]
+
+        self._build_3d_tables()
+        self._build_2d_tables()
+
+        # totals for the extrapolation (utils_bpp_acc.py:350-366)
+        self.ttl_entries_valid_3d = sum(
+            self.tables3d[l].n_entries for l in self.ctx_levels_3d)
+        self.ttl_sample_valid_3d = sum(
+            self.tables3d[l].sample_n for l in self.ctx_levels_3d)
+        self.v_window_total = sum(
+            self.tables3d[l].max_win_pts for l in self.ctx_levels_3d)
+
+        # finest-level info for the dimension-wise prior
+        self.fine_res = spec3.resolutions[-1]          # 514
+        self.fine_offset = spec3.offsets[-2]
+        self.fine_size = spec3.level_sizes[-1]
+        self.pn_res = self.fine_res                    # frac plane resolution
+
+    # ------------------------------------------------------------ host init
+    def _build_3d_tables(self):
+        ecfg, spec3 = self.cfg, self.spec3
+        rng = np.random.default_rng(1234)
+        # dense threshold: last level whose R^D fits the table
+        # (utils_bpp_acc.py:288-293) — such levels get shuffled entry order
+        sizes = spec3.level_sizes
+        self.tables3d: Dict[int, Level3DTable] = {}
+        entry_counts = []
+        for l in range(self.pg_level):
+            r = spec3.resolutions[l]
+            tbl = sizes[l]
+            if l in self.cfg.skip_levels_3d:
+                entry_counts.append(min(tbl, r ** 3))  # allocation only
+                continue
+            g = np.arange(r, dtype=np.int64)
+            xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+            coords = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+            idx = hash_ops.grid_index_np(coords, r, tbl)
+            order = np.argsort(idx, kind="stable")
+            idx_sorted = idx[order]
+            flat = (coords[:, 0] * r * r + coords[:, 1] * r +
+                    coords[:, 2]).astype(np.int32)[order]
+            values, counts = np.unique(idx_sorted, return_counts=True)
+            if r ** 3 <= tbl:
+                # dense level: shuffle entries for unbiased window sampling
+                perm = rng.permutation(values.size)
+                values = values[perm]
+                counts = counts[perm]
+                flat = flat[perm]  # counts are all 1 for dense levels
+            vert_entry = np.repeat(np.arange(values.size, dtype=np.int32),
+                                   counts)
+            cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            entry_counts.append(values.size)
+            self.tables3d[l] = Level3DTable(
+                level=l, resolution=r, offset=spec3.offsets[l],
+                n_entries=values.size, n_vertices=flat.size,
+                sample_n=0, max_win_pts=0,
+                pos_flat=jnp.asarray(flat),
+                vert_entry=jnp.asarray(vert_entry),
+                entry_values=jnp.asarray(values.astype(np.int32)),
+                counts=jnp.asarray(counts.astype(np.int32)),
+                cum=jnp.asarray(cum))
+            del coords, idx, order, idx_sorted, flat, vert_entry
+
+        # proportional entry sampling (utils_bpp_acc.py:350-352)
+        counts_arr = np.asarray(entry_counts, np.float64)
+        sample = np.round(counts_arr * (self.cfg.sample_num / counts_arr.sum()))
+        if sample[-1] > counts_arr[-1]:
+            sample = counts_arr
+        sample = sample.astype(np.int64)
+        for l in list(self.tables3d):
+            t = self.tables3d[l]
+            sn = int(min(sample[l], t.n_entries))
+            sn = max(sn, 1)
+            cum = np.asarray(t.cum)
+            win = cum[sn:] - cum[:-sn] if sn < t.n_entries else cum[-1:]
+            self.tables3d[l] = t._replace(sample_n=sn,
+                                          max_win_pts=int(win.max()))
+
+    def _build_2d_tables(self):
+        ecfg, spec2 = self.cfg, self.spec2
+        self.tables2d: Dict[int, Level2DTable] = {}
+        sizes = spec2.level_sizes
+        rb = self.rb
+        for l in self.ctx_levels_2d:
+            r = spec2.resolutions[l]
+            tile = (r - 2) // rb
+            assert (r - 2) % rb == 0, "2D resolutions must be multiples of Rb"
+            bx = np.arange(rb, dtype=np.int64)
+            ox = np.arange(tile + 2, dtype=np.int64)
+            # block lattice coords: b*T + [0, T+1] (fetch_2D_batches :443-448)
+            cx = (bx[:, None] * tile + ox[None, :])  # [rb, T+2]
+            cells = np.stack(np.meshgrid(np.arange(rb), np.arange(rb),
+                                         indexing="ij"), -1).reshape(-1, 2)
+            gx = cx[cells[:, 0]]                     # [rb*rb, T+2]
+            gy = cx[cells[:, 1]]
+            px = np.repeat(gx[:, :, None], tile + 2, 2)
+            py = np.repeat(gy[:, None, :], tile + 2, 1)
+            coords = np.stack([px, py], -1).reshape(-1, 2)
+            block = np.repeat(cells[:, 0] * rb + cells[:, 1],
+                              (tile + 2) ** 2).astype(np.int32)
+            idx = hash_ops.grid_index_np(coords, r, sizes[l])
+            order = np.argsort(idx, kind="stable")
+            idx_sorted = idx[order]
+            values, counts = np.unique(idx_sorted, return_counts=True)
+            vert_entry = np.repeat(np.arange(values.size, dtype=np.int32),
+                                   counts)
+            cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            packed = ((coords[:, 0] << 16) | coords[:, 1]).astype(np.int32)
+            self.tables2d[l] = Level2DTable(
+                level=l, resolution=r, offset=spec2.offsets[l], tile=tile,
+                n_points=coords.shape[0], n_entries=values.size,
+                sample_n=0, max_win_pts=0,
+                coords=jnp.asarray(packed[order]),
+                block_id=jnp.asarray(block[order]),
+                vert_entry=jnp.asarray(vert_entry),
+                entry_values=jnp.asarray(values.astype(np.int32)),
+                counts=jnp.asarray(counts.astype(np.int32)),
+                cum=jnp.asarray(cum))
+
+        # optional window sampling for training (TPU adaptation; None = full)
+        sn2 = getattr(ecfg, "sample_num_2d", None)
+        if sn2:
+            tot = sum(self.tables2d[l].n_entries for l in self.ctx_levels_2d)
+            for l in self.ctx_levels_2d:
+                t = self.tables2d[l]
+                sn = max(1, min(int(round(t.n_entries * sn2 / tot)),
+                                t.n_entries))
+                cum = np.asarray(t.cum)
+                win = cum[sn:] - cum[:-sn] if sn < t.n_entries else cum[-1:]
+                self.tables2d[l] = t._replace(sample_n=sn,
+                                              max_win_pts=int(win.max()))
+        else:
+            for l in self.ctx_levels_2d:
+                t = self.tables2d[l]
+                self.tables2d[l] = t._replace(sample_n=t.n_entries,
+                                              max_win_pts=t.n_points)
+
+    # --------------------------------------------------------------- params
+    def init_params(self, key) -> Dict:
+        f = self.cfg.n_features
+        k = self.cfg.max_context_layer_num
+        keys = jax.random.split(key, 3 + len(self.ctx_levels_2d))
+        params = {
+            # MLP(3F+1 -> 32 -> 32 -> F), LeakyReLU (utils_bpp_acc.py:378-384)
+            "ctx3d": {
+                "l0": _linear_init(keys[0], f * k + 1, 32),
+                "l1": _linear_init(keys[1], 32, 32),
+                "l2": _linear_init(keys[2], 32, f),
+            },
+            # per-level Linear(F*(min(n,k)+dim_wise)+1 -> F) (:386-393)
+            "ctx2d": {},
+        }
+        for i, l in enumerate(self.ctx_levels_2d):
+            cln = min(l, k)
+            fan_in = f * (cln + int(self.cfg.use_dimension_wise)) + 1
+            params["ctx2d"][str(l)] = _linear_init(keys[3 + i], fan_in, f)
+        return params
+
+    def param_count(self, params) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+    def apply_ctx3d(self, p, x):
+        h = _leaky_relu(x @ p["l0"]["w"] + p["l0"]["b"])
+        h = _leaky_relu(h @ p["l1"]["w"] + p["l1"]["b"])
+        return h @ p["l2"]["w"] + p["l2"]["b"]
+
+    def apply_ctx2d(self, p, level, x):
+        pl_ = p[str(level)]
+        return x @ pl_["w"] + pl_["b"]
+
+    # ---------------------------------------------------------------- cache
+    def init_cache(self) -> Dict:
+        """Zero-filled cache with the static shapes refresh_cache produces."""
+        rb = self.rb
+        cache = {
+            "sat3d": jnp.zeros((rb + 1,) * 3, jnp.int32),
+            "bin2d": jnp.zeros((3, rb, rb), bool),
+            "sat2d": jnp.zeros((3, rb + 1, rb + 1), jnp.int32),
+            "mask": {}, "ovl": {},
+        }
+        for l in self.ctx_levels_3d:
+            r = self.tables3d[l].resolution
+            cache["mask"][str(l)] = jnp.zeros((r ** 3,), bool)
+            cache["ovl"][str(l)] = jnp.zeros((r ** 3,), jnp.float32)
+        cap = self.cfg.pn_coords_cap
+        cache["pn"] = {ax: {
+            "entry_idx": jnp.zeros((cap,), jnp.int32),
+            "n": jnp.zeros((), jnp.int32),
+            "bounds": jnp.zeros(((self.pn_res - 2) ** 2 + 1,), jnp.int32),
+        } for ax in ("xy", "xz", "yz")}
+        return cache
+
+    def refresh_cache(self, binaries: jnp.ndarray, old_cache=None) -> Dict:
+        fn = getattr(self, "_refresh_jit", None)
+        if fn is None:
+            fn = jax.jit(self._refresh_impl)
+            self._refresh_jit = fn
+        return fn(binaries)
+
+    def _refresh_impl(self, binaries):
+        rb = self.rb
+        cache = {"sat3d": sat_ops.build_sat(binaries)}
+        bin2d = jnp.stack([jnp.any(binaries, axis=2),   # xy
+                           jnp.any(binaries, axis=1),   # xz
+                           jnp.any(binaries, axis=0)])  # yz
+        cache["bin2d"] = bin2d
+        cache["sat2d"] = jnp.stack([sat_ops.build_sat(bin2d[i])
+                                    for i in range(3)])
+        cache["mask"], cache["ovl"] = {}, {}
+        for l in self.ctx_levels_3d:
+            r = self.tables3d[l].resolution
+            m, o = _dense_mask_overlap_grids(binaries, r, rb)
+            cache["mask"][str(l)] = m.reshape(-1)
+            cache["ovl"][str(l)] = o.reshape(-1)
+        cache["pn"] = self._refresh_pn_coords(binaries)
+        return cache
+
+    def _refresh_pn_coords(self, binaries):
+        """Dilated occupied coord lists sorted by projected bin (per axis).
+
+        Replaces get_idx_coords2 (utils_bpp_acc.py:498-512): occupied 128^3
+        cells upsampled x(scale/Rb) and dilated by one fine cell, then +1
+        shift into the (scale+2)-resolution lattice.  The coord list is
+        compacted to a static cap and reduced to per-axis (bin-sorted hashed
+        finest-level entry indices + static bin boundaries).
+        """
+        rb = self.rb
+        scale = self.pn_res - 2                       # 512
+        assert scale % rb == 0, "finest 3D resolution-2 must be a multiple of Rb"
+        t = scale // rb
+        cap = self.cfg.pn_coords_cap
+        # dense dilated mask on the scale^3 lattice (coords 1..scale after
+        # the +1 shift; border coords are dropped by cnt_np_embed anyway,
+        # gridencoder.cu:895-898, so we only enumerate the interior lattice)
+        up = jnp.repeat(jnp.repeat(jnp.repeat(binaries, t, 0), t, 1), t, 2)
+
+        def dilate1(x, axis):
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 1)
+            p = jnp.pad(x, pad)
+            n = x.shape[axis]
+            return (jax.lax.slice_in_dim(p, 0, n, axis=axis)
+                    | jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
+                    | jax.lax.slice_in_dim(p, 2, n + 2, axis=axis))
+
+        dil = dilate1(dilate1(dilate1(up, 0), 1), 2)
+        # dil[i,j,k] true => lattice coord (i+1, j+1, k+1) is in the list
+        out = {}
+        flat = dil.reshape(-1)
+        c = jnp.cumsum(flat.astype(jnp.int32))
+        n = c[-1]
+        src = jnp.searchsorted(c, jnp.arange(1, cap + 1, dtype=jnp.int32))
+        src = jnp.minimum(src, scale ** 3 - 1)
+        valid = jnp.arange(cap) < jnp.minimum(n, cap)
+        x = src // (scale * scale)
+        y = (src // scale) % scale
+        z = src % scale
+        coords = jnp.stack([x + 1, y + 1, z + 1], -1)  # lattice coords 1..scale
+        eidx = hash_ops.grid_index(coords, self.pn_res, self.fine_size)
+        for ax, (a, b) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+            bins = (coords[:, a] - 1) * scale + (coords[:, b] - 1)
+            bins = jnp.where(valid, bins, scale * scale)  # park invalid at end
+            order = jnp.argsort(bins)
+            bins_s = bins[order]
+            eidx_s = jnp.where(valid[order], eidx[order], 0)
+            bounds = jnp.searchsorted(
+                bins_s, jnp.arange(scale * scale + 1, dtype=jnp.int32))
+            out[ax] = {"entry_idx": eidx_s.astype(jnp.int32), "n": n,
+                       "bounds": bounds.astype(jnp.int32)}
+        return out
+
+    # ------------------------------------------------- dimension-wise prior
+    def pn_frac_plane(self, table3d_q: jnp.ndarray, pn_ax: Dict,
+                      sample_cap: Optional[int] = None) -> jnp.ndarray:
+        """Positive-sign fraction plane [pn_res**2, F] (x-fastest flat).
+
+        get_pn_embed_frac (utils_bpp_acc.py:515-530): histogram the signs of
+        the finest-level entries at the cached coords, per projected bin;
+        frac = pos/(pos+neg+1e-6); zero border ring.  With `sample_cap`, a
+        stride-sampled subset estimates the fraction (training speed knob —
+        the codec always passes None).
+        """
+        scale = self.pn_res - 2
+        f = self.cfg.n_features
+        eidx = pn_ax["entry_idx"]
+        bounds = pn_ax["bounds"]
+        n = pn_ax["n"]
+        cap = eidx.shape[0]
+        if sample_cap is not None and sample_cap < cap:
+            m = jnp.minimum(n, cap)
+            take = jnp.minimum(m, sample_cap)
+            # stride sample j -> floor(j*m/take); exact sampled-bin counts via
+            # f(x) = ceil(x*take/m)
+            j = jnp.arange(sample_cap, dtype=jnp.int32)
+            # stride sample in float32 (int products would overflow int32);
+            # the bin boundary map is derived from the same src array via
+            # searchsorted, so sampling stays self-consistent
+            stride = m.astype(jnp.float32) / jnp.maximum(take, 1).astype(
+                jnp.float32)
+            src = jnp.floor(j.astype(jnp.float32) * stride).astype(jnp.int32)
+            src = jnp.minimum(src, jnp.maximum(m - 1, 0))
+            sel = eidx[jnp.minimum(src, cap - 1)]
+            valid = j < take
+            svals = _pos_indicator(
+                table3d_q[self.fine_offset + sel])          # [S, F]
+            svals = jnp.where(valid[:, None], svals, 0.0)
+            csum = jnp.cumsum(svals, axis=0)
+            csum = jnp.concatenate([jnp.zeros((1, f)), csum], 0)
+            bmap = jnp.searchsorted(src, bounds).astype(jnp.int32)
+            bmap = jnp.minimum(bmap, take)
+            pos = csum[bmap[1:]] - csum[bmap[:-1]]
+            cnt = (bmap[1:] - bmap[:-1]).astype(jnp.float32)[:, None]
+        else:
+            valid = jnp.arange(cap) < jnp.minimum(n, cap)
+            svals = _pos_indicator(table3d_q[self.fine_offset + eidx])
+            svals = jnp.where(valid[:, None], svals, 0.0)
+            csum = jnp.cumsum(svals, axis=0)
+            csum = jnp.concatenate([jnp.zeros((1, f)), csum], 0)
+            pos = csum[bounds[1:]] - csum[bounds[:-1]]
+            cnt = (bounds[1:] - bounds[:-1]).astype(jnp.float32)[:, None]
+        frac = pos / (cnt + 1e-6)
+        plane = frac.reshape(scale, scale, f)
+        plane = jnp.pad(plane, ((1, 1), (1, 1), (0, 0)))
+        # x-fastest flat layout to match dense grid indexing (see
+        # ops/encoding.grid_encode_given_table docstring)
+        return plane.transpose(1, 0, 2).reshape(-1, f)
+
+    # --------------------------------------------------- 3D training window
+    def _slice_3d_windows(self, key):
+        """Random per-level entry windows -> concatenated padded vertex batch."""
+        parts = []
+        for l in self.ctx_levels_3d:
+            t = self.tables3d[l]
+            u = jax.random.uniform(jax.random.fold_in(key, l))
+            start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
+            start_v = t.cum[start_e]
+            end_v = t.cum[start_e + t.sample_n]
+            pos = jax.lax.dynamic_slice(t.pos_flat, (start_v,),
+                                        (t.max_win_pts,))
+            ve = jax.lax.dynamic_slice(t.vert_entry, (start_v,),
+                                       (t.max_win_pts,))
+            vvalid = jnp.arange(t.max_win_pts) < (end_v - start_v)
+            evals = jax.lax.dynamic_slice(t.entry_values, (start_e,),
+                                          (t.sample_n,))
+            parts.append(dict(level=l, pos=pos, slot=ve - start_e,
+                              valid=vvalid, start_e=start_e,
+                              entry_values=evals))
+        return parts
+
+    def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
+                      binaries: jnp.ndarray, key, cache: Dict):
+        """Training-time bits-per-param (forward_binary_vxl_mixPg_3D2D).
+
+        tables: dict of binarized (+-1) tables {'xyz','xy','xz','yz'}.
+        Returns (bits_per_param, estimated MB).  Differentiable in both
+        ent_params and tables.
+        """
+        cfg = self.cfg
+        f = cfg.n_features
+        ttl_bits = 0.0
+        ttl_num = 0.0
+
+        # ---------- 2D planes
+        fine_table = tables["xyz"]
+        for ai, (ax, plane_key) in enumerate(
+                (("xy", "xy"), ("xz", "xz"), ("yz", "yz"))):
+            tbl2 = tables[plane_key]
+            ttl_num += tbl2.size
+            if cfg.use_dimension_wise:
+                frac_plane = self.pn_frac_plane(
+                    fine_table, cache["pn"][ax],
+                    sample_cap=cfg.pn_frac_sample_cap)
+                if not cfg.pn_frac_grad:
+                    frac_plane = jax.lax.stop_gradient(frac_plane)
+            else:
+                frac_plane = None
+            for l in range(self.spec2.n_levels):
+                level_slice = jax.lax.dynamic_slice_in_dim(
+                    tbl2, self.spec2.offsets[l],
+                    self.spec2.level_sizes[l])
+                pg_n, bits_n, _ = ent_ops.global_pg_bits(level_slice)
+                if l in self.ctx_levels_2d:
+                    bits_n = self._bits_2d_level(
+                        ent_params, tbl2, l, pg_n, frac_plane,
+                        cache["bin2d"][ai], cache["sat2d"][ai],
+                        jax.random.fold_in(key, 100 + 10 * ai + l))
+                ttl_bits = ttl_bits + bits_n
+
+        # ---------- 3D grid
+        tbl3 = tables["xyz"]
+        ttl_num += tbl3.size
+        pg_by_level = {}
+        for l in range(self.spec3.n_levels):
+            level_slice = jax.lax.dynamic_slice_in_dim(
+                tbl3, self.spec3.offsets[l], self.spec3.level_sizes[l])
+            pg_n, bits_n, _ = ent_ops.global_pg_bits(level_slice)
+            pg_by_level[l] = pg_n
+            if l in self.cfg.skip_levels_3d or l >= self.pg_level:
+                ttl_bits = ttl_bits + bits_n
+        ttl_bits = ttl_bits + self._bits_3d_sampled(
+            ent_params, tbl3, pg_by_level, cache, key)
+
+        bpp = ttl_bits / ttl_num
+        return bpp, ttl_bits / 8.0 / 1024.0 / 1024.0
+
+    # ------------------------------------------------------- 2D level pooling
+    def pool_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
+                      bin2d, sat2d, start_e, n_e, w):
+        """Per-entry pooled context probabilities for one 2D level window.
+
+        Returns (pooled [n_e,F], covered [n_e], values_q [n_e,F]).
+        Shared by the training rate estimate (sampled window) and the codec
+        (full coverage: start_e=0, n_e=n_entries, w=n_points).
+        """
+        cfg = self.cfg
+        t = self.tables2d[level]
+        start_v = t.cum[start_e]
+        end_v = t.cum[start_e + n_e]
+        coords = jax.lax.dynamic_slice(t.coords, (start_v,), (w,))
+        blocks = jax.lax.dynamic_slice(t.block_id, (start_v,), (w,))
+        slots = jax.lax.dynamic_slice(t.vert_entry, (start_v,), (w,)) - start_e
+        valid = jnp.arange(w) < (end_v - start_v)
+        evals = jax.lax.dynamic_slice(t.entry_values, (start_e,), (n_e,))
+
+        occ_block = bin2d.reshape(-1)[blocks] & valid     # block occupied
+        x = (coords >> 16).astype(jnp.float32)
+        y = (coords & 0xFFFF).astype(jnp.float32)
+        pts = jnp.stack([(x - 0.5), (y - 0.5)], -1) / (t.resolution - 2.0)
+
+        cln = min(level, cfg.max_context_layer_num)
+        ctx = enc.grid_encode(pts, tbl2, self.spec2, level - cln, level,
+                              occ_sat=sat2d)
+        feats = [ctx]
+        if frac_plane is not None:
+            ctx_pn = enc.grid_encode_given_table(pts, frac_plane, self.pn_res,
+                                                 occ_sat=sat2d)
+            feats.append(ctx_pn)
+        feats.append(jnp.broadcast_to(pg_n[None, None], (w, 1)))
+        mean = self.apply_ctx2d(ent_params["ctx2d"], level,
+                                jnp.concatenate(feats, -1))
+
+        slots = jnp.clip(slots, 0, n_e - 1)
+        cnt = _segment_tail_values(occ_block.astype(jnp.float32), slots,
+                                   jnp.ones_like(occ_block), n_e)
+        msum = _segment_tail_values(mean, slots, occ_block, n_e)
+        pooled = msum / jnp.maximum(cnt, 1.0)[:, None]
+        covered = cnt > 0
+        values_q = tbl2[t.offset + evals]
+        return pooled, covered, values_q
+
+    def _bits_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
+                       bin2d, sat2d, key):
+        """Context-model bits of one 2D level over a sampled entry window."""
+        t = self.tables2d[level]
+        u = jax.random.uniform(key)
+        start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
+        pooled, covered, values_q = self.pool_2d_level(
+            ent_params, tbl2, level, pg_n, frac_plane, bin2d, sat2d,
+            start_e, t.sample_n, t.max_win_pts)
+        bits = ent_ops.bernoulli_bits(values_q, pooled)
+        bits = jnp.sum(jnp.where(covered[:, None], bits, 0.0))
+        # extrapolate sampled window to the whole level (TPU adaptation;
+        # exact when sample_num_2d is None => window == full level)
+        return bits * (t.n_entries / t.sample_n)
+
+    # ------------------------------------------------------- 3D level pooling
+    def pool_3d_level(self, ent_params, tbl3, cache, level, pg_n, start_e,
+                      n_e, w):
+        """Per-entry pooled context probabilities for one 3D level window.
+
+        Static level (context = levels [level-k, level)); used by the codec's
+        chunked full-coverage passes (encode_binary_vxl chunking,
+        utils_bpp_acc.py:798-858).  Returns (pooled, covered, values_q).
+        """
+        cfg = self.cfg
+        f = cfg.n_features
+        t = self.tables3d[level]
+        r = t.resolution
+        start_v = t.cum[start_e]
+        end_v = t.cum[start_e + n_e]
+        pos = jax.lax.dynamic_slice(t.pos_flat, (start_v,), (w,))
+        slots = jax.lax.dynamic_slice(t.vert_entry, (start_v,), (w,)) - start_e
+        valid = jnp.arange(w) < (end_v - start_v)
+        evals = jax.lax.dynamic_slice(t.entry_values, (start_e,), (n_e,))
+
+        mask = cache["mask"][str(level)][pos] & valid
+        ovl = cache["ovl"][str(level)][pos]
+        ovl_w = jnp.maximum(jnp.floor(ovl * 1000.0), 1.0)
+
+        xx = pos // (r * r)
+        yy = (pos // r) % r
+        zz = pos % r
+        pts = (jnp.stack([xx, yy, zz], -1).astype(jnp.float32) - 0.5) / (r - 2.0)
+        k = cfg.max_context_layer_num
+        ctx = enc.grid_encode(pts, tbl3, self.spec3, level - k, level,
+                              occ_sat=cache["sat3d"])
+        ctx = jnp.concatenate(
+            [ctx, jnp.broadcast_to(pg_n[None, None], (w, 1))], -1)
+        mean = self.apply_ctx3d(ent_params["ctx3d"], ctx)
+
+        slots = jnp.clip(slots, 0, n_e - 1)
+        wgt = jnp.where(mask, ovl_w, 0.0)
+        wsum = _segment_tail_values(wgt, slots, valid, n_e)
+        if cfg.use_overlap_area_pool:
+            pooled = _segment_tail_values(mean * wgt[:, None], slots, valid,
+                                          n_e)
+            pooled = pooled / jnp.maximum(wsum, 1e-9)[:, None]
+        else:
+            mcnt = _segment_tail_values(mask.astype(jnp.float32), slots,
+                                        valid, n_e)
+            pooled = _segment_tail_values(mean, slots, mask, n_e)
+            pooled = pooled / jnp.maximum(mcnt, 1.0)[:, None]
+        covered = wsum > 0
+        values_q = tbl3[t.offset + evals]
+        return pooled, covered, values_q
+
+    # ------------------------------------------------------- 3D level bits
+    def _bits_3d_sampled(self, ent_params, tbl3, pg_by_level, cache, key):
+        cfg = self.cfg
+        f = cfg.n_features
+        parts = self._slice_3d_windows(jax.random.fold_in(key, 7))
+        if not parts:
+            return 0.0
+        # concat vertex windows (static total size)
+        pos = jnp.concatenate([p["pos"] for p in parts])
+        valid = jnp.concatenate([p["valid"] for p in parts])
+        levels = jnp.concatenate([
+            jnp.full((p["pos"].shape[0],), p["level"], jnp.int32)
+            for p in parts])
+        base = 0
+        slots = []
+        for p in parts:
+            slots.append(p["slot"] + base)
+            base += self.tables3d[p["level"]].sample_n
+        slot = jnp.concatenate(slots)
+        e_total = base
+
+        # occupancy mask + overlap from dense cached grids (1 gather each)
+        mask = jnp.zeros_like(valid)
+        ovl = jnp.zeros(pos.shape, jnp.float32)
+        off = 0
+        for p in parts:
+            l = p["level"]
+            n = p["pos"].shape[0]
+            seg = slice(off, off + n)
+            mask = mask.at[seg].set(cache["mask"][str(l)][pos[seg]]
+                                    & valid[seg])
+            ovl = ovl.at[seg].set(cache["ovl"][str(l)][pos[seg]])
+            off += n
+        # int(x*1000) clamp(min=1) like the reference pooling weights
+        ovl_w = jnp.maximum(jnp.floor(ovl * 1000.0), 1.0)
+
+        # compact masked vertices to the context budget (scatter-free);
+        # vertices beyond the budget are dropped from the pooling entirely
+        # (their zero means must not dilute the per-entry probabilities)
+        cap = cfg.v_ctx_cap
+        flat = mask.astype(jnp.int32)
+        c = jnp.cumsum(flat)
+        total = c[-1]
+        kept = mask & (c <= cap)
+        src = jnp.searchsorted(c, jnp.arange(1, cap + 1, dtype=jnp.int32))
+        src = jnp.minimum(src, pos.shape[0] - 1)
+        cvalid = jnp.arange(cap) < jnp.minimum(total, cap)
+
+        clev = levels[src]
+        cpos = pos[src]
+        res_arr = jnp.asarray(self.spec3.resolutions, jnp.int32)[clev]
+        xx = cpos // (res_arr * res_arr)
+        yy = (cpos // res_arr) % res_arr
+        zz = cpos % res_arr
+        pts = (jnp.stack([xx, yy, zz], -1).astype(jnp.float32) - 0.5) / \
+            (res_arr.astype(jnp.float32) - 2.0)[:, None]
+        k = cfg.max_context_layer_num
+        ctx = enc.grid_encode_diff_levels(pts, tbl3, self.spec3,
+                                          clev - k, k,
+                                          occ_sat=cache["sat3d"])
+        pg_arr = jnp.stack([pg_by_level[l] for l in range(self.spec3.n_levels)])
+        ctx = jnp.concatenate([ctx, pg_arr[clev][:, None]], -1)
+        mean = self.apply_ctx3d(ent_params["ctx3d"], ctx)
+
+        # scatter compacted means back to the window layout for pooling
+        # (window layout keeps slots sorted & contiguous)
+        mean_full = jnp.zeros((pos.shape[0], f))
+        mean_full = mean_full.at[jnp.where(cvalid, src, pos.shape[0] - 1)].set(
+            jnp.where(cvalid[:, None], mean, 0.0), mode="drop",
+            unique_indices=True)
+
+        w = jnp.where(kept, ovl_w, 0.0)
+        wsum = _segment_tail_values(w, slot, valid, e_total)
+        if cfg.use_overlap_area_pool:
+            pooled = _segment_tail_values(mean_full * w[:, None], slot, valid,
+                                          e_total)
+            pooled = pooled / jnp.maximum(wsum, 1e-9)[:, None]
+        else:
+            mcnt = _segment_tail_values(kept.astype(jnp.float32), slot, valid,
+                                        e_total)
+            pooled = _segment_tail_values(mean_full, slot, kept, e_total)
+            pooled = pooled / jnp.maximum(mcnt, 1.0)[:, None]
+        exist = wsum > 0
+
+        evals = jnp.concatenate([
+            p["entry_values"] + self.tables3d[p["level"]].offset
+            for p in parts])
+        values_q = tbl3[evals]
+        bits = ent_ops.bernoulli_bits(values_q, pooled)
+        bits = jnp.sum(jnp.where(exist[:, None], bits, 0.0))
+        # extrapolation (utils_bpp_acc.py:700)
+        return bits / self.ttl_sample_valid_3d * self.ttl_entries_valid_3d
+
+
+def _dense_mask_overlap_grids(binaries: jnp.ndarray, resolution: int,
+                              rb: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense per-corner occupancy mask + overlap volume grids for one level.
+
+    Separable reformulation of query_mask_3D (aligner_kernel.cu:162-242): the
+    footprint box bounds per axis depend only on that axis' corner coordinate,
+    so 'any occupied in box' and the fractional overlap integral factor into
+    three sequential 1D pools over the occupancy grid, each a static gather
+    of per-axis cumulative sums.  Exactness matches ops/sat.py's per-point
+    queries (cross-checked in tests).
+    """
+    r = resolution
+    c = np.arange(r, dtype=np.float64)
+    scale_re = 1.0 / (r - 2.0)
+    pn = (c - 0.5) * scale_re
+    lo = np.clip((pn - scale_re) * rb, 0, rb - 1).astype(np.int32)
+    hi = np.clip((pn + scale_re) * rb, 0, rb - 1).astype(np.int32)
+    a_f = np.clip(pn - scale_re, 0.0, 1.0) * rb       # continuous, cell units
+    b_f = np.clip(pn + scale_re, 0.0, 1.0) * rb
+
+    def pool_any(x, axis):
+        # x: [..., rb, ...] int32 -> [..., r, ...]
+        s = jnp.cumsum(x, axis=axis)
+        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
+                                                     axis=axis)), s], axis=axis)
+        top = jnp.take(s, jnp.asarray(hi + 1), axis=axis)
+        bot = jnp.take(s, jnp.asarray(lo), axis=axis)
+        return top - bot
+
+    def pool_frac(x, axis):
+        # fractional integral over [a_f, b_f] of piecewise-constant x
+        s = jnp.cumsum(x, axis=axis)
+        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
+                                                     axis=axis)), s], axis=axis)
+
+        def lerp(u):
+            i0 = np.clip(np.floor(u).astype(np.int32), 0, rb - 1)
+            frac = (u - i0).astype(np.float32)
+            lo_v = jnp.take(s, jnp.asarray(i0), axis=axis)
+            hi_v = jnp.take(s, jnp.asarray(i0 + 1), axis=axis)
+            shape = [1] * x.ndim
+            shape[axis] = r
+            fr = jnp.asarray(frac).reshape(shape)
+            return lo_v * (1.0 - fr) + hi_v * fr
+
+        return lerp(b_f) - lerp(a_f)
+
+    b = binaries.astype(jnp.int32)
+    m = pool_any(b, 0)
+    m = pool_any(m, 1)
+    m = pool_any(m, 2) > 0
+
+    o = pool_frac(binaries.astype(jnp.float32), 0)
+    o = pool_frac(o, 1)
+    o = pool_frac(o, 2)
+    return m, o

@@ -38,6 +38,10 @@ def global_pg_bits(params_q: jnp.ndarray):
     pos = (ttl + s) / 2.0
     neg = (ttl - s) / 2.0
     pg = pos / ttl
-    pos_bit = pos * (-jnp.log2(pg))
-    neg_bit = neg * (-jnp.log2(1.0 - pg))
+    # clamp only inside the logs: a one-sided level (pg = 0 or 1) costs ~0
+    # bits rather than 0 * inf = NaN.  1e-6 stays representable in float32
+    # (1 - 1e-12 would round back to 1.0).
+    pg_safe = jnp.clip(pg, 1e-6, 1.0 - 1e-6)
+    pos_bit = pos * (-jnp.log2(pg_safe))
+    neg_bit = neg * (-jnp.log2(1.0 - pg_safe))
     return pg, pos_bit + neg_bit, ttl

@@ -1,0 +1,156 @@
+"""Multi-chip data parallelism over rays (SPMD via shard_map).
+
+The reference is strictly single-GPU (SURVEY.md §2.7) — this is the
+TPU-native extension: rays are embarrassingly parallel, so the training
+render shards the ray batch over a `data` mesh axis with *per-device* sample
+budgets (no cross-device compaction or cumsum), hash tables and MLPs
+replicated, and gradient reduction riding ICI through shard_map's
+transpose-psum of replicated inputs.  The entropy rate term is computed
+outside the shard_map (replicated on every device) so its gradient is not
+scaled by the device count.
+
+Scene-level parallelism (independent scenes per host) needs no collectives
+and is handled by launching independent drivers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CNCConfig
+from ..models import radiance_field as rf
+from ..render import renderer
+from ..utils import metrics as M
+from ..train import optim
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
+
+
+def shard_rays(mesh: Mesh, *arrays, axis: str = "data"):
+    sh = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
+                       axis: str = "data"):
+    """Jitted data-parallel train step.
+
+    Rays/pixels are sharded on `axis`; everything else is replicated.  The
+    per-device sample budget is sample_capacity / n_devices.
+    """
+    n_dev = mesh.shape[axis]
+    aabb = jnp.asarray(cfg.render.aabb)
+    per_dev_cap = max(8, cfg.render.sample_capacity // n_dev)
+    use_entropy = entropy is not None and cfg.train.lmbda > 0
+
+    def render_loss(params, binaries, rays_o, rays_d, pixels, bkgd, key):
+        """Per-device shard body: local render + global-mean MSE via psum."""
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        out = renderer.render_rays_train(
+            params, cfg.model, cfg.render, aabb, binaries, rays_o, rays_d,
+            key, bkgd, capacity=per_dev_cap)
+        local_sq = jnp.sum((out.rgb - pixels) ** 2)
+        total_sq = jax.lax.psum(local_sq, axis)
+        n_total = jax.lax.psum(jnp.float32(pixels.size), axis)
+        n_vis = jax.lax.psum(out.n_rendering_samples, axis)
+        n_marched = jax.lax.psum(out.n_marched_samples, axis)
+        return total_sq / n_total, n_vis, n_marched
+
+    sharded_render_loss = jax.shard_map(
+        render_loss, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+
+    def loss_fn(params, ent_params, binaries, rays_o, rays_d, pixels, bkgd,
+                key, ent_cache):
+        mse, n_vis, n_marched = sharded_render_loss(
+            params, binaries, rays_o, rays_d, pixels, bkgd, key)
+        loss = mse
+        aux = {"mse": mse, "n_samples": n_vis, "n_marched": n_marched}
+        if use_entropy:
+            tables = rf.quantized_tables(params, cfg.model)
+            bpp, mb = entropy.rate_estimate(ent_params, tables, binaries, key,
+                                            ent_cache)
+            loss = loss + cfg.train.lmbda * bpp
+            aux["bits_per_param"] = bpp
+            aux["embed_MB"] = mb
+        return loss, aux
+
+    @jax.jit
+    def step(params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
+             bkgd, key, ent_cache):
+        grads, aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, ent_params, binaries, rays_o, rays_d, pixels, bkgd, key,
+            ent_cache)
+        upd, opt_state = opt.update(grads[0], opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, grads[1], opt_state, aux
+
+    return step
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute one full data-parallel training step on a virtual
+    n-device mesh with tiny shapes (driver validation hook)."""
+    from ..models import context_models as cm
+    from ..config import (EntropyConfig, GridSpec, ModelConfig, RenderConfig,
+                          TrainConfig)
+
+    mesh = make_mesh(n_devices)
+    mcfg = ModelConfig(n_features_per_level=2, n_neurons=32,
+                       resolutions_3d=(10, 18, 34, 66),
+                       resolutions_2d=(18, 34),
+                       log2_hashmap_size=10, log2_hashmap_size_2D=8,
+                       pe_num_freqs=4)
+    ecfg = EntropyConfig(n_features=2, sample_num=256, max_context_layer_num=2,
+                         Pg_level=4, Pg_level_2D=2, skip_levels_3d=(0, 1),
+                         skip_levels_2d=(0,), Rb=16,
+                         pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
+                         sample_num_2d=128, v_ctx_cap=1 << 11)
+    cfg = CNCConfig(
+        model=mcfg, entropy=ecfg,
+        render=dataclasses.replace(RenderConfig(), occ_resolution=16,
+                                   render_step_size=0.05,
+                                   sample_budget=1 << 10, march_block=16),
+        train=dataclasses.replace(TrainConfig(), lmbda=2e-3))
+
+    key = jax.random.PRNGKey(0)
+    params = rf.init_radiance_field(key, mcfg)
+    entropy = cm.ContextModels(ecfg, mcfg.grid_3d, mcfg.grid_2d)
+    ent_params = entropy.init_params(key)
+    opt = optim.make_optimizer(cfg.train, cfg.train.weight_decay)
+    opt_state = opt.init(params)
+    binaries = jnp.zeros((16, 16, 16), bool).at[6:10, 6:10, 6:10].set(True)
+    cache = entropy.refresh_cache(binaries)
+
+    n_rays = 8 * n_devices
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (n_rays, 1))
+    d = jax.random.normal(key, (n_rays, 3)) * 0.05 + jnp.asarray([0, 0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pixels = jnp.ones((n_rays, 3)) * 0.5
+    rays_o, rays_d, pixels = shard_rays(mesh, rays_o, rays_d, pixels)
+
+    step = make_dp_train_step(cfg, mesh, opt, entropy=entropy)
+    params2, g_ent, opt_state, aux = step(
+        params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
+        jnp.ones(3), key, cache)
+    jax.block_until_ready(params2)
+    assert np.isfinite(float(aux["mse"]))
+    assert np.isfinite(float(aux["bits_per_param"]))
+    leaves = jax.tree.leaves(params2)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    print(f"dryrun_multichip({n_devices}): ok — mse={float(aux['mse']):.4f} "
+          f"bpp={float(aux['bits_per_param']):.4f}")

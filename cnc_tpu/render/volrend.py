@@ -29,7 +29,11 @@ class RenderedRays(NamedTuple):
     rgb: jnp.ndarray       # [R, 3]
     opacity: jnp.ndarray   # [R, 1]
     depth: jnp.ndarray     # [R, 1]
-    n_rendering_samples: jnp.ndarray  # scalar: visible samples (for dynamic batching)
+    n_rendering_samples: jnp.ndarray  # scalar: visible samples
+    # true occupancy hits before buffer truncation — the dynamic ray batching
+    # must use this (adapting on the visible count under a saturated buffer
+    # spirals: truncated rays lower the count, which grows the batch further)
+    n_marched_samples: jnp.ndarray
 
 
 def render_weights(sigmas: jnp.ndarray, samples: RaySamples,
@@ -70,4 +74,5 @@ def composite(rgbs: jnp.ndarray, sigmas: jnp.ndarray, samples: RaySamples,
     if render_bkgd is not None:
         rgb = rgb + render_bkgd * (1.0 - opacity)
     return RenderedRays(rgb=rgb, opacity=opacity, depth=depth,
-                        n_rendering_samples=jnp.sum(visible))
+                        n_rendering_samples=jnp.sum(visible),
+                        n_marched_samples=samples.num_samples)

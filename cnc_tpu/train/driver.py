@@ -1,0 +1,152 @@
+"""Full CNC pipeline: train -> eval -> encode -> decode -> re-eval -> quantize.
+
+Orchestration mirror of the reference drivers (examples/
+train_CNC_nerf_synthetic.py:302-613): joint RD training, test-set evaluation,
+full-coverage encoding to bitstreams, zeroing the tables and decoding them
+back (the built-in lossless self-check), post-codec evaluation, 13-bit MLP
+quantization with final evaluation, and one append-only TSV result row with
+the reference's column order (:562-613, SSIM recorded negated like :420).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CNCConfig
+from ..codec import codec as codec_mod
+from ..grids import occupancy as occ
+from ..models import context_models as cm
+from ..models import radiance_field as rf
+from ..utils import metrics as M
+from .trainer import Trainer
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    psnr: float
+    lpips: float
+    ssim: float
+    psnr_codec: float
+    lpips_codec: float
+    ssim_codec: float
+    embed_MB_est: float
+    embed_MB_codec: float
+    mlp_MB_orig: float
+    context_MB: float
+    binary_vxl_MB: float
+    quant_results: list
+    elapsed_train_s: float
+    encode_s: float
+    decode_s: float
+
+    def total_size_MB(self, digit_idx: int = 0) -> float:
+        return (self.embed_MB_codec + self.context_MB + self.binary_vxl_MB +
+                self.quant_results[digit_idx]["mlp_MB"])
+
+
+def build_entropy(cfg: CNCConfig) -> cm.ContextModels:
+    return cm.ContextModels(cfg.entropy, cfg.model.grid_3d, cfg.model.grid_2d)
+
+
+def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
+                 out_root: str = ".", max_steps: Optional[int] = None,
+                 max_eval_images: Optional[int] = None,
+                 log_fn=print) -> PipelineResult:
+    entropy = build_entropy(cfg) if cfg.train.lmbda > 0 else None
+    trainer = Trainer(cfg, train_dataset, entropy=entropy)
+    elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
+
+    log_fn("evaluating (pre-codec)...")
+    ev = trainer.evaluate(test_dataset, max_images=max_eval_images)
+
+    embed_mb_est = embed_mb_codec = 0.0
+    enc_s = dec_s = 0.0
+    context_mb = 0.0
+    stream_dir = os.path.join(out_root, "bitstreams", scene)
+    if cfg.train.lmbda > 0:
+        codec = codec_mod.CNCCodec(entropy)
+        tables = rf.quantized_tables(trainer.params, cfg.model)
+        t0 = time.time()
+        pgs, embed_mb_est, embed_mb_codec = codec.encode(
+            trainer.ent_params, tables, trainer.occ_state.binaries, stream_dir,
+            prefix="b")
+        enc_s = time.time() - t0
+        log_fn(f"encoded {embed_mb_codec:.4f} MB "
+               f"(analytic {embed_mb_est:.4f} MB) in {enc_s:.1f}s "
+               f"-> {stream_dir}")
+
+        # lossless self-check: zero the tables, decode, swap in (driver
+        # :446-471)
+        zeroed = {k: jnp.zeros_like(trainer.params[k])
+                  for k in ("xyz", "xy", "xz", "yz")}
+        trainer.params = rf.replace_tables(trainer.params, zeroed)
+        t0 = time.time()
+        rec = codec.decode(trainer.ent_params, trainer.occ_state.binaries,
+                           pgs, stream_dir, prefix="b")
+        dec_s = time.time() - t0
+        trainer.params = rf.replace_tables(trainer.params, rec)
+        log_fn(f"decoded in {dec_s:.1f}s")
+        context_mb = entropy.param_count(trainer.ent_params) * 4 / 1024 / 1024
+        codec_mod.save_bundle(
+            stream_dir, pgs, trainer.ent_params,
+            rf.split_mlp_params(trainer.params), trainer.occ_state.binaries,
+            {"scene": scene, "lmbda": cfg.train.lmbda,
+             "n_features": cfg.model.n_features_per_level})
+
+    log_fn("evaluating (post-codec)...")
+    ev_codec = trainer.evaluate(test_dataset, max_images=max_eval_images)
+
+    # 13-bit MLP quantization sweep (driver :508-556)
+    quant_results = []
+    mlp_params = rf.split_mlp_params(trainer.params)
+    _, mlp_mb_orig, _ = codec_mod.quantize_mlp_params(mlp_params, 13)
+    for digits in cfg.train.mlp_quant_digits:
+        mb, _, q = codec_mod.quantize_mlp_params(mlp_params, digits)
+        trainer.params = {**trainer.params, **q}
+        ev_q = trainer.evaluate(test_dataset, max_images=max_eval_images)
+        quant_results.append({"digits": digits, "mlp_MB": mb, **ev_q})
+
+    _, vxl_bits, _ = occ.occupancy_grid_size_bits(trainer.occ_state.binaries)
+    vxl_mb = float(vxl_bits) / 8 / 1024 / 1024
+
+    result = PipelineResult(
+        psnr=ev["psnr"], lpips=ev["lpips"], ssim=ev["ssim"],
+        psnr_codec=ev_codec["psnr"], lpips_codec=ev_codec["lpips"],
+        ssim_codec=ev_codec["ssim"],
+        embed_MB_est=embed_mb_est, embed_MB_codec=embed_mb_codec,
+        mlp_MB_orig=mlp_mb_orig, context_MB=context_mb,
+        binary_vxl_MB=vxl_mb, quant_results=quant_results,
+        elapsed_train_s=elapsed, encode_s=enc_s, decode_s=dec_s)
+    return result
+
+
+def append_result_row(result: PipelineResult, scene: str, dataset_name: str,
+                      out_root: str = "."):
+    """Append the TSV row with the reference's column layout (driver
+    :562-613).  SSIM is written negated, as the reference records it."""
+    outdir = os.path.join(out_root, "results", dataset_name)
+    os.makedirs(outdir, exist_ok=True)
+    r = result
+    cols = [scene,
+            np.round(r.psnr, 4), np.round(r.lpips, 4), np.round(-r.ssim, 4),
+            np.round(r.psnr_codec, 4), np.round(r.lpips_codec, 4),
+            np.round(-r.ssim_codec, 4),
+            np.round(r.embed_MB_est, 4), np.round(r.embed_MB_codec, 4),
+            np.round(r.mlp_MB_orig, 4), np.round(r.context_MB, 4),
+            np.round(r.binary_vxl_MB, 4)]
+    for i, q in enumerate(r.quant_results):
+        cols += [q["digits"], np.round(q["mlp_MB"], 4),
+                 np.round(q["psnr"], 4), np.round(q["lpips"], 4),
+                 np.round(-q["ssim"], 4),
+                 np.round(r.total_size_MB(i), 4)]
+    cols += [np.round(r.elapsed_train_s, 4), np.round(r.encode_s, 4),
+             np.round(r.decode_s, 4)]
+    with open(os.path.join(outdir, "output.txt"), "a") as fw:
+        fw.write("\t".join(str(c) for c in cols) + "\n")

@@ -1,0 +1,121 @@
+"""Codec integration: lossless encode->decode roundtrip (the reference's own
+acceptance criterion — train/encode/decode/re-eval PSNR equality,
+train_CNC_nerf_synthetic.py:442-506 — reduced to table equality here)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnc_tpu.codec import codec as codec_mod
+from cnc_tpu.models import context_models as cm
+from cnc_tpu.ops import ste as ste_ops
+
+from test_context_models import tiny_setup
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    ecfg, spec3, spec2 = tiny_setup()
+    ctx = cm.ContextModels(ecfg, spec3, spec2)
+    rng = np.random.default_rng(42)
+    key = jax.random.PRNGKey(1)
+    ent_params = ctx.init_params(key)
+    # trained-ish tables: biased signs so rates differ across entries
+    tables = {}
+    for name, spec in (("xyz", spec3), ("xy", spec2), ("xz", spec2),
+                       ("yz", spec2)):
+        raw = rng.standard_normal((spec.total_entries, 2)).astype(np.float32)
+        raw += 0.5  # bias toward +1
+        tables[name] = ste_ops.ste_binary(jnp.asarray(raw))
+    binaries = jnp.asarray(rng.random((16, 16, 16)) < 0.2)
+    out = tmp_path_factory.mktemp("streams")
+    return ctx, ent_params, tables, binaries, str(out)
+
+
+def test_roundtrip_lossless(setup):
+    ctx, ent_params, tables, binaries, out_dir = setup
+    cd = codec_mod.CNCCodec(ctx)
+    pgs, est_mb, actual_mb = cd.encode(ent_params, tables, binaries, out_dir)
+    assert actual_mb > 0
+    # analytic estimate and actual coded size agree (SURVEY §4 cross-check).
+    # With untrained context models many probabilities sit at the clamp, where
+    # the coder's 16-bit quantization caps the cost below the analytic
+    # -log2(1e-6); trained models agree to <1%.
+    assert abs(est_mb - actual_mb) / actual_mb < 0.25, (est_mb, actual_mb)
+
+    rec = cd.decode(ent_params, binaries, pgs, out_dir)
+
+    cache = ctx.refresh_cache(binaries)
+    # 3D: skip levels must match exactly; context levels match on covered
+    # entries and are +1 elsewhere
+    tbl3 = np.asarray(tables["xyz"])
+    rec3 = np.asarray(rec["xyz"])
+    for l in range(ctx.spec3.n_levels):
+        off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
+        if l in ctx.cfg.skip_levels_3d or l >= ctx.pg_level:
+            np.testing.assert_array_equal(rec3[off:off + size],
+                                          tbl3[off:off + size])
+        else:
+            t = ctx.tables3d[l]
+            chunk_e, n_chunks, _ = cd.chunks3d[l]
+            for c in range(n_chunks):
+                lo = c * chunk_e
+                hi = min((c + 1) * chunk_e, t.n_entries)
+                start = min(lo, t.n_entries - chunk_e)
+                pooled, covered, _ = cd._pool3d_fn(l)(
+                    ent_params, tables["xyz"], cache,
+                    pg_n=jnp.float32(pgs[f"3D{l}"]),
+                    start_e=jnp.int32(start))
+                cov = np.asarray(covered)[lo - start:hi - start]
+                evals = np.asarray(t.entry_values)[lo:hi]
+                got = rec3[off + evals]
+                want = tbl3[off + evals]
+                np.testing.assert_array_equal(got[cov], want[cov])
+                assert np.all(got[~cov] == 1.0)
+
+    # 2D planes
+    for ax in ("xy", "xz", "yz"):
+        tbl2 = np.asarray(tables[ax])
+        rec2 = np.asarray(rec[ax])
+        for l in range(ctx.spec2.n_levels):
+            off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
+            if l in ctx.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
+                np.testing.assert_array_equal(rec2[off:off + size],
+                                              tbl2[off:off + size])
+
+
+def test_decode_needs_matching_occupancy(setup):
+    """Context depends on the occupancy prior: decoding with a different
+    binary grid must corrupt context-level entries."""
+    ctx, ent_params, tables, binaries, out_dir = setup
+    cd = codec_mod.CNCCodec(ctx)
+    pgs, _, _ = cd.encode(ent_params, tables, binaries, out_dir)
+    wrong = jnp.zeros_like(binaries).at[0, 0, 0].set(True)
+    rec = cd.decode(ent_params, wrong, pgs, out_dir)
+    tbl3 = np.asarray(tables["xyz"])
+    rec3 = np.asarray(rec["xyz"])
+    l = ctx.ctx_levels_3d[-1]
+    off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
+    assert not np.array_equal(rec3[off:off + size], tbl3[off:off + size])
+
+
+def test_bundle_roundtrip(setup, tmp_path):
+    ctx, ent_params, tables, binaries, out_dir = setup
+    pgs = {"3D0": 0.5, "xy1": 0.25}
+    mlp = {"l0": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}}
+    codec_mod.save_bundle(str(tmp_path), pgs, ent_params, mlp, binaries,
+                          {"scene": "test"})
+    pgs2, ent2, mlp2, bin2 = codec_mod.load_bundle(str(tmp_path))
+    assert pgs2 == {k: float(np.float32(v)) for k, v in pgs.items()}
+    np.testing.assert_array_equal(np.asarray(binaries), bin2)
+    assert len(ent2) == len(jax.tree.leaves(ent_params))
+
+
+def test_quantize_mlp():
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 1000).reshape(10, 100))}
+    mb, mb_orig, q = codec_mod.quantize_mlp_params(params, digits=13)
+    err = np.abs(np.asarray(q["w"]) - np.asarray(params["w"])).max()
+    assert err < 2.0 / (2 ** 13 - 1) + 1e-5
+    assert mb < mb_orig

@@ -1,0 +1,239 @@
+"""Context-model tests: static tables, occupancy cache, rate estimate."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnc_tpu.config import EntropyConfig, GridSpec
+from cnc_tpu.models import context_models as cm
+from cnc_tpu.ops import hash_ops, sat as sat_ops
+
+import oracle
+
+
+def tiny_setup():
+    spec3 = GridSpec(num_dim=3, n_features=2, resolutions=(10, 18, 34, 66),
+                     log2_hashmap_size=10)
+    spec2 = GridSpec(num_dim=2, n_features=2, resolutions=(18, 34),
+                     log2_hashmap_size=8)
+    ecfg = EntropyConfig(
+        n_features=2, sample_num=500, max_context_layer_num=2,
+        Pg_level=4, Pg_level_2D=2, skip_levels_3d=(0, 1), skip_levels_2d=(0,),
+        Rb=16, pn_coords_cap=1 << 17, pn_frac_sample_cap=None,
+        sample_num_2d=None, v_ctx_cap=1 << 15)
+    return ecfg, spec3, spec2
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return cm.ContextModels(*tiny_setup())
+
+
+@pytest.fixture(scope="module")
+def binaries():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.random((16, 16, 16)) < 0.15)
+
+
+@pytest.fixture(scope="module")
+def cache(ctx, binaries):
+    return ctx.refresh_cache(binaries)
+
+
+class TestTables:
+    def test_vertex_table_hash_parity(self, ctx):
+        for l, t in ctx.tables3d.items():
+            r = t.resolution
+            assert t.n_vertices == r ** 3
+            pos = np.asarray(t.pos_flat)
+            xyz = np.stack([pos // (r * r), (pos // r) % r, pos % r], -1)
+            idx = hash_ops.grid_index_np(xyz, r, ctx.spec3.level_sizes[l])
+            evals = np.asarray(t.entry_values)
+            ve = np.asarray(t.vert_entry)
+            np.testing.assert_array_equal(evals[ve], idx)
+            counts = np.asarray(t.counts)
+            assert counts.sum() == r ** 3
+            assert np.asarray(t.cum)[-1] == r ** 3
+
+    def test_2d_lattice_block_structure(self, ctx):
+        for l, t in ctx.tables2d.items():
+            assert t.n_points == 16 * 16 * (t.tile + 2) ** 2
+            x = np.asarray(t.coords) >> 16
+            y = np.asarray(t.coords) & 0xFFFF
+            assert x.max() <= t.resolution - 1 and y.max() <= t.resolution - 1
+            idx = hash_ops.grid_index_np(np.stack([x, y], -1), t.resolution,
+                                         ctx.spec2.level_sizes[l])
+            np.testing.assert_array_equal(
+                np.asarray(t.entry_values)[np.asarray(t.vert_entry)], idx)
+
+
+class TestCache:
+    def test_mask_grid_matches_pointwise_sat(self, ctx, binaries, cache):
+        sat = sat_ops.build_sat(binaries)
+        rng = np.random.default_rng(1)
+        for l in ctx.ctx_levels_3d:
+            r = ctx.tables3d[l].resolution
+            pts = rng.integers(0, r, size=(200, 3))
+            want = np.asarray(sat_ops.occupancy_mask(sat, jnp.asarray(pts), r,
+                                                     16))
+            flat = pts[:, 0] * r * r + pts[:, 1] * r + pts[:, 2]
+            got = np.asarray(cache["mask"][str(l)])[flat]
+            np.testing.assert_array_equal(got, want)
+
+    def test_overlap_grid_matches_pointwise(self, ctx, binaries, cache):
+        sat = sat_ops.build_sat(binaries)
+        rng = np.random.default_rng(2)
+        for l in ctx.ctx_levels_3d:
+            r = ctx.tables3d[l].resolution
+            pts = rng.integers(0, r, size=(100, 3))
+            want = np.asarray(sat_ops.overlap_volume_cells(
+                sat, jnp.asarray(pts), r, 16))
+            flat = pts[:, 0] * r * r + pts[:, 1] * r + pts[:, 2]
+            got = np.asarray(cache["ovl"][str(l)])[flat]
+            np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+    def test_pn_coords_match_numpy_dilation(self, ctx, binaries, cache):
+        b = np.asarray(binaries)
+        scale = ctx.pn_res - 2
+        t = scale // 16
+        up = np.repeat(np.repeat(np.repeat(b, t, 0), t, 1), t, 2)
+        pad = np.pad(up, 1)
+        dil = np.zeros_like(up)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    dil |= pad[dx:dx + scale, dy:dy + scale, dz:dz + scale]
+        n_expected = int(dil.sum())
+        assert int(cache["pn"]["xy"]["n"]) == n_expected
+        # bounds consistent: bin counts match projection histogram
+        coords = np.argwhere(dil) + 1
+        bins = (coords[:, 0] - 1) * scale + (coords[:, 1] - 1)
+        want_counts = np.bincount(bins, minlength=scale * scale)
+        bounds = np.asarray(cache["pn"]["xy"]["bounds"])
+        np.testing.assert_array_equal(np.diff(bounds), want_counts)
+
+
+class TestPnFrac:
+    def test_frac_plane_against_numpy(self, ctx, binaries, cache):
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(
+            np.sign(rng.standard_normal((ctx.spec3.total_entries, 2))))
+        plane = np.asarray(ctx.pn_frac_plane(table, cache["pn"]["xy"]))
+        scale = ctx.pn_res - 2
+        # numpy oracle
+        b = np.asarray(binaries)
+        t = scale // 16
+        up = np.repeat(np.repeat(np.repeat(b, t, 0), t, 1), t, 2)
+        pad = np.pad(up, 1)
+        dil = np.zeros_like(up)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    dil |= pad[dx:dx + scale, dy:dy + scale, dz:dz + scale]
+        coords = np.argwhere(dil) + 1
+        idx = hash_ops.grid_index_np(coords, ctx.pn_res, ctx.fine_size)
+        vals = np.asarray(table)[ctx.fine_offset + idx]  # [M, F]
+        pos = np.zeros((scale, scale, 2))
+        cnt = np.zeros((scale, scale, 1))
+        for c, v in zip(coords, vals):
+            pos[c[0] - 1, c[1] - 1] += (v > 0.9)
+            cnt[c[0] - 1, c[1] - 1, 0] += 1
+        frac = pos / (cnt + 1e-6)
+        padded = np.pad(frac, ((1, 1), (1, 1), (0, 0)))
+        want = padded.transpose(1, 0, 2).reshape(-1, 2)
+        np.testing.assert_allclose(plane, want, atol=1e-5)
+
+    def test_sampled_frac_close_to_full(self, ctx, binaries, cache):
+        rng = np.random.default_rng(4)
+        table = jnp.asarray(
+            np.sign(rng.standard_normal((ctx.spec3.total_entries, 2))))
+        full = np.asarray(ctx.pn_frac_plane(table, cache["pn"]["xy"]))
+        half = np.asarray(ctx.pn_frac_plane(table, cache["pn"]["xy"],
+                                            sample_cap=1 << 14))
+        # noisy estimator by design: most of the support agrees
+        assert ((full > 0) == (half > 0)).mean() > 0.75
+
+
+class TestSegmentTails:
+    def test_against_numpy(self):
+        rng = np.random.default_rng(5)
+        seg = np.sort(rng.integers(0, 50, size=300)).astype(np.int32)
+        x = rng.standard_normal((300, 2)).astype(np.float32)
+        valid = rng.random(300) < 0.7
+        got = np.asarray(cm._segment_tail_values(
+            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(valid), 50))
+        want = np.zeros((50, 2), np.float32)
+        for s in range(50):
+            m = (seg == s) & valid
+            want[s] = x[m].sum(0)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestRateEstimate:
+    def test_runs_and_differentiable(self, ctx, binaries, cache):
+        ecfg, spec3, spec2 = tiny_setup()
+        key = jax.random.PRNGKey(0)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(6)
+        raw = {k: jnp.asarray(rng.standard_normal(
+            (spec.total_entries, 2)).astype(np.float32)) * 0.01
+            for k, spec in (("xyz", spec3), ("xy", spec2), ("xz", spec2),
+                            ("yz", spec2))}
+
+        from cnc_tpu.ops import ste as ste_ops
+
+        def loss(ent_p, raw_tables):
+            tables = {k: ste_ops.ste_binary(v) for k, v in raw_tables.items()}
+            bpp, mb = ctx.rate_estimate(ent_p, tables, binaries, key, cache)
+            return bpp, mb
+
+        bpp, grads = jax.value_and_grad(
+            lambda e, r: loss(e, r)[0], argnums=(0, 1))(ent_params, raw)
+        assert np.isfinite(float(bpp))
+        # untrained context models predict confidently-wrong probabilities, so
+        # the initial rate exceeds 1 bit/param (like the reference at step 0)
+        assert 0.3 < float(bpp) < 30.0, float(bpp)
+        g_ent, g_tab = grads
+        for leaf in jax.tree.leaves(g_ent):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        assert float(jnp.abs(g_tab["xyz"]).sum()) > 0
+        assert float(jnp.abs(g_tab["xy"]).sum()) > 0
+
+    @staticmethod
+    def _calibrated_params(ctx, key):
+        """Context params that always output p=0.5 (1 bit for any symbol)."""
+        ent = ctx.init_params(key)
+        ent = jax.tree.map(jnp.zeros_like, ent)
+        ent["ctx3d"]["l2"]["b"] = ent["ctx3d"]["l2"]["b"] + 0.5
+        for k in ent["ctx2d"]:
+            ent["ctx2d"][k]["b"] = ent["ctx2d"][k]["b"] + 0.5
+        return ent
+
+    def test_calibrated_random_costs_one_bit(self, ctx, binaries, cache):
+        ecfg, spec3, spec2 = tiny_setup()
+        key = jax.random.PRNGKey(0)
+        ent = self._calibrated_params(ctx, key)
+        rng = np.random.default_rng(9)
+        tables = {k: jnp.asarray(np.sign(rng.standard_normal(
+            (spec.total_entries, 2))).astype(np.float32))
+            for k, spec in (("xyz", spec3), ("xy", spec2), ("xz", spec2),
+                            ("yz", spec2))}
+        bpp, _ = ctx.rate_estimate(ent, tables, binaries, key, cache)
+        # p=0.5 context + Pg~=0.5 global levels -> ~1 bit/param
+        assert 0.9 < float(bpp) < 1.1, float(bpp)
+
+    def test_biased_tables_cost_less(self, ctx, binaries, cache):
+        """All-(+1) tables cost ~0 on global-Pg levels and exactly 1 bit on
+        context entries under calibrated p=0.5 -> well below 1 bit/param."""
+        ecfg, spec3, spec2 = tiny_setup()
+        key = jax.random.PRNGKey(0)
+        ent = self._calibrated_params(ctx, key)
+        tables = {k: jnp.ones((spec.total_entries, 2))
+                  for k, spec in (("xyz", spec3), ("xy", spec2),
+                                  ("xz", spec2), ("yz", spec2))}
+        bpp, _ = ctx.rate_estimate(ent, tables, binaries, key, cache)
+        assert float(bpp) < 0.6, float(bpp)

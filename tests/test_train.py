@@ -1,0 +1,65 @@
+"""End-to-end training smoke test on a procedural scene (lambda=0 slice)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cnc_tpu.config import (CNCConfig, ModelConfig, RenderConfig, TrainConfig,
+                            EntropyConfig)
+from cnc_tpu.data import scenes
+from cnc_tpu.train.trainer import Trainer
+from cnc_tpu.train import optim
+from cnc_tpu.utils import metrics as M
+
+
+def tiny_config():
+    return CNCConfig(
+        model=ModelConfig(n_features_per_level=2, n_neurons=64,
+                          resolutions_3d=(10, 18, 34, 66),
+                          resolutions_2d=(18, 34),
+                          log2_hashmap_size=12, log2_hashmap_size_2D=10,
+                          pe_num_freqs=4),
+        render=dataclasses.replace(
+            RenderConfig(), render_step_size=0.02, occ_resolution=32,
+            sample_budget=1 << 13, march_block=32),
+        train=dataclasses.replace(
+            TrainConfig(), init_batch_size=256, min_ray_bucket=256,
+            max_ray_bucket=2048, target_sample_batch_size=1 << 13,
+            lmbda=0.0, warmup_iters=20, lr_milestones=(60, 80),
+            lr=6e-3),
+    )
+
+
+def test_schedule_matches_torch_chained():
+    tcfg = dataclasses.replace(TrainConfig(), lr=1.0, warmup_iters=10,
+                               warmup_start_factor=0.1, lr_milestones=(20, 30),
+                               lr_gamma=0.5)
+    s = optim.reference_schedule(tcfg)
+    np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(5)), 0.55, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(s(25)), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(35)), 0.25, rtol=1e-6)
+
+
+def test_training_improves_psnr():
+    cfg = tiny_config()
+    ds = scenes.ProceduralDataset("sphere", n_images=8, width=48, height=48,
+                                  n_steps_gt=256)
+    tr = Trainer(cfg, ds)
+    tr.fit(max_steps=60, log_every=0)
+    # render a training view and require decent reconstruction of the simple
+    # scene after 60 steps
+    rgb, gt = tr.eval_image(0)
+    p = float(M.psnr(rgb, gt))
+    assert np.isfinite(p)
+    assert p > 14.0, f"psnr after training too low: {p}"
+
+
+def test_ssim_basics():
+    a = jnp.ones((32, 32, 3)) * 0.5
+    assert float(M.ssim(a, a)) > 0.99
+    b = a + 0.3
+    assert float(M.ssim(a, b)) < 0.9
