@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""CNC-TPU benchmark: full rate-distortion training-step throughput.
+
+Measures steady-state samples/second through the complete training step on
+the flagship configuration (budgeted occupancy rendering + joint entropy
+rate estimate + both optimizers), the workload that dominates the
+reference's wall-clock (20k steps x 2^18 samples, SURVEY.md §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no absolute wall-clock (BASELINE.md); CNC
+training is reported by its authors at roughly an hour per scene on a
+desktop GPU, i.e. 20000 * 2^18 / 3600s ~= 1.46M samples/s.  vs_baseline is
+measured throughput divided by that figure.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SAMPLES_PER_SEC = 20000 * (1 << 18) / 3600.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnc_tpu.config import CNCConfig, EntropyConfig, ModelConfig, \
+        RenderConfig, TrainConfig
+    from cnc_tpu.data import scenes
+    from cnc_tpu.train import driver
+    from cnc_tpu.train.trainer import Trainer
+
+    log("bench devices:", jax.devices())
+    cfg = CNCConfig(
+        model=ModelConfig(n_features_per_level=4),
+        entropy=EntropyConfig(n_features=4, sample_num=100000),
+        render=RenderConfig(),
+        train=dataclasses.replace(TrainConfig(), lmbda=2e-3),
+    )
+    t0 = time.time()
+    ds = scenes.ProceduralDataset("blocks", n_images=8, width=128, height=128,
+                                  n_steps_gt=256)
+    log(f"dataset in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    entropy = driver.build_entropy(cfg)
+    log(f"entropy tables in {time.time()-t0:.1f}s")
+    tr = Trainer(cfg, ds, entropy=entropy)
+
+    warmup = 24
+    measure = 16
+    t0 = time.time()
+    tr.fit(max_steps=warmup, log_every=0)
+    log(f"warmup {warmup} steps in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    tr.fit(max_steps=measure, log_every=0)
+    dt = time.time() - t0
+    sps = measure * cfg.train.target_sample_batch_size / dt
+    log(f"{measure} steps in {dt:.2f}s -> {sps/1e3:.1f}k samples/s "
+        f"({dt/measure*1e3:.0f} ms/step)")
+    print(json.dumps({
+        "metric": "rd_train_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,9 +197,53 @@ class ContextModels:
         self.pn_res = self.fine_res                    # frac plane resolution
 
     # ------------------------------------------------------------ host init
+    def _table_cache_dir(self):
+        import pathlib
+        d = pathlib.Path(__file__).resolve().parents[2] / ".table_cache"
+        d.mkdir(exist_ok=True)
+        return d
+
+    def _build_3d_level_arrays(self, l: int):
+        """(pos_flat, vert_entry, entry_values, counts) for one 3D level —
+        cached on disk (the sort of 514^3 vertices costs minutes on one
+        core and is identical across runs).  The dense-level shuffle uses a
+        per-level seed so results are deterministic regardless of which
+        levels were cache hits (codec both sides must agree)."""
+        rng = np.random.default_rng(1234 + l)
+        r = self.spec3.resolutions[l]
+        tbl = self.spec3.level_sizes[l]
+        cache_file = self._table_cache_dir() / f"l3d_r{r}_t{tbl}.npz"
+        if cache_file.exists():
+            d = np.load(cache_file)
+            return (d["flat"], d["vert_entry"], d["values"], d["counts"])
+        flat_ids = np.arange(r * r * r, dtype=np.int64)
+        coords = np.empty((flat_ids.size, 3), np.int32)
+        coords[:, 0] = flat_ids // (r * r)
+        coords[:, 1] = (flat_ids // r) % r
+        coords[:, 2] = flat_ids % r
+        idx = hash_ops.grid_index_np(coords, r, tbl).astype(np.int32)
+        del coords
+        order = np.argsort(idx, kind="stable")
+        idx_sorted = idx[order]
+        flat = flat_ids[order].astype(np.int32)
+        del flat_ids, order, idx
+        values, counts = np.unique(idx_sorted, return_counts=True)
+        values = values.astype(np.int32)
+        counts = counts.astype(np.int32)
+        if r ** 3 <= tbl:
+            # dense level: shuffle entries for unbiased window sampling.
+            # deterministic: both codec sides rebuild the same order.
+            perm = rng.permutation(values.size)
+            values = values[perm]
+            counts = counts[perm]
+            flat = flat[perm]  # counts are all 1 for dense levels
+        vert_entry = np.repeat(np.arange(values.size, dtype=np.int32), counts)
+        np.savez(cache_file, flat=flat, vert_entry=vert_entry, values=values,
+                 counts=counts)
+        return flat, vert_entry, values, counts
+
     def _build_3d_tables(self):
         ecfg, spec3 = self.cfg, self.spec3
-        rng = np.random.default_rng(1234)
         # dense threshold: last level whose R^D fits the table
         # (utils_bpp_acc.py:288-293) — such levels get shuffled entry order
         sizes = spec3.level_sizes
@@ -211,23 +255,7 @@ class ContextModels:
             if l in self.cfg.skip_levels_3d:
                 entry_counts.append(min(tbl, r ** 3))  # allocation only
                 continue
-            g = np.arange(r, dtype=np.int64)
-            xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
-            coords = np.stack([xx, yy, zz], -1).reshape(-1, 3)
-            idx = hash_ops.grid_index_np(coords, r, tbl)
-            order = np.argsort(idx, kind="stable")
-            idx_sorted = idx[order]
-            flat = (coords[:, 0] * r * r + coords[:, 1] * r +
-                    coords[:, 2]).astype(np.int32)[order]
-            values, counts = np.unique(idx_sorted, return_counts=True)
-            if r ** 3 <= tbl:
-                # dense level: shuffle entries for unbiased window sampling
-                perm = rng.permutation(values.size)
-                values = values[perm]
-                counts = counts[perm]
-                flat = flat[perm]  # counts are all 1 for dense levels
-            vert_entry = np.repeat(np.arange(values.size, dtype=np.int32),
-                                   counts)
+            flat, vert_entry, values, counts = self._build_3d_level_arrays(l)
             cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
             entry_counts.append(values.size)
             self.tables3d[l] = Level3DTable(
@@ -236,10 +264,10 @@ class ContextModels:
                 sample_n=0, max_win_pts=0,
                 pos_flat=jnp.asarray(flat),
                 vert_entry=jnp.asarray(vert_entry),
-                entry_values=jnp.asarray(values.astype(np.int32)),
-                counts=jnp.asarray(counts.astype(np.int32)),
+                entry_values=jnp.asarray(values),
+                counts=jnp.asarray(counts),
                 cum=jnp.asarray(cum))
-            del coords, idx, order, idx_sorted, flat, vert_entry
+            del flat, vert_entry
 
         # proportional entry sampling (utils_bpp_acc.py:350-352)
         counts_arr = np.asarray(entry_counts, np.float64)

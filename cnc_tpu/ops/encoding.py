@@ -37,6 +37,12 @@ import numpy as np
 
 from ..config import GridSpec
 from . import hash_ops, sat as sat_ops
+from . import scatter_ops
+
+# When True (default), table gradients go through the sort-based scatter
+# (ops/scatter_ops.py) instead of XLA's serialized scatter-add — ~10x faster
+# on TPU at training scale.  Flip for A/B testing.
+USE_SORTED_BACKWARD = True
 
 
 def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
@@ -52,8 +58,8 @@ def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
     else:
         res_m1 = (resolution - 1)[:, None]
 
-    acc = jnp.zeros((n, f), dtype=jnp.float32)
-    wn = jnp.zeros((n,), dtype=jnp.float32)
+    gidx_list = []
+    w_list = []
     for corner in range(1 << d):
         bits = [(corner >> ax) & 1 for ax in range(d)]
         cc = []
@@ -76,11 +82,17 @@ def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
             m = sat_ops.occupancy_mask(occ_sat, cc, resolution, rb)
             valid = valid & m
         idx = hash_ops.grid_index(cc, resolution, hashmap_size)
-        gidx = jnp.where(valid, idx + (offset if res_is_static else offset), 0)
-        feat = jnp.take(table, gidx, axis=0, mode="clip").astype(jnp.float32)
-        w_eff = jnp.where(valid, w, 0.0)
-        acc = acc + w_eff[:, None] * feat
-        wn = wn + w_eff
+        gidx_list.append(jnp.where(valid, idx + offset, 0))
+        w_list.append(jnp.where(valid, w, 0.0))
+    gidx = jnp.stack(gidx_list, axis=-1)     # [N, 2^D]
+    w_eff = jnp.stack(w_list, axis=-1)       # [N, 2^D]
+    if USE_SORTED_BACKWARD:
+        acc = scatter_ops.level_gather_interp(table.astype(jnp.float32),
+                                              gidx, w_eff)
+    else:
+        feats = jnp.take(table, gidx, axis=0, mode="clip").astype(jnp.float32)
+        acc = jnp.einsum("nc,ncf->nf", w_eff, feats)
+    wn = jnp.sum(w_eff, axis=-1)
     wn = jnp.where(wn == 0.0, 1e-9, wn)
     out = acc / wn[:, None]
     oob = jnp.zeros((n,), dtype=bool)

@@ -11,6 +11,10 @@ import dataclasses
 import os
 import pathlib
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 
 def main():
     parser = argparse.ArgumentParser()
