@@ -115,29 +115,59 @@ class Level2DTable(NamedTuple):
     cum: jnp.ndarray
 
 
+_SEG_CHUNK = 1 << 20
+
+
+def _seg_tails_one_chunk(out, xb, segb, vb, num_segments):
+    """Chunk-local segment sums scattered (unique within chunk) into out."""
+    xm = jnp.where(vb[(...,) + (None,) * (xb.ndim - 1)], xb, 0.0)
+    head = jnp.concatenate([jnp.ones((1,), bool), segb[1:] != segb[:-1]])
+
+    def comb(a, b):
+        (va, fa), (vb_, fb) = a, b
+        f = fb if vb_.ndim == 1 else fb[:, None]
+        return jnp.where(f, vb_, va + vb_), fa | fb
+
+    vs, _ = jax.lax.associative_scan(comb, (xm, head))
+    tail = jnp.concatenate([segb[1:] != segb[:-1], jnp.ones((1,), bool)])
+    seg_safe = jnp.where(tail, segb, num_segments)
+    return out.at[seg_safe].add(
+        jnp.where(tail[(...,) + (None,) * (xb.ndim - 1)], vs, 0.0),
+        mode="drop", unique_indices=True)
+
+
 def _segment_tail_values(x: jnp.ndarray, seg: jnp.ndarray, valid: jnp.ndarray,
                          num_segments: int):
     """Per-segment sums of x (masked by valid) over sorted contiguous seg ids.
 
-    Uses a segmented inclusive scan + tail scatter (unique indices) instead of
-    a general scatter-add: only num_segments elements are scattered.
+    Segmented inclusive scan + tail scatter (unique indices) instead of a
+    general scatter-add: only ~num_segments elements are scattered.  Long
+    buffers are processed in fixed chunks under lax.scan — a single
+    associative_scan over tens of millions of elements blows up the TPU
+    compiler — and segments spanning chunk boundaries simply accumulate
+    through multiple unique-index adds.
     Returns [num_segments, ...] sums (zero where no valid element).
     """
-    xm = jnp.where(valid[(...,) + (None,) * (x.ndim - 1)], x, 0.0)
-    head = jnp.concatenate([jnp.ones((1,), bool), seg[1:] != seg[:-1]])
-
-    def comb(a, b):
-        (va, fa), (vb, fb) = a, b
-        f = fb if vb.ndim == 1 else fb[:, None]
-        return jnp.where(f, vb, va + vb), fa | fb
-
-    vs, _ = jax.lax.associative_scan(comb, (xm, head))
-    tail = jnp.concatenate([seg[1:] != seg[:-1], jnp.ones((1,), bool)])
+    n = x.shape[0]
     out_shape = (num_segments,) + x.shape[1:]
-    seg_safe = jnp.where(tail, seg, num_segments)  # dropped when not a tail
-    return jnp.zeros(out_shape, x.dtype).at[seg_safe].add(
-        jnp.where(tail[(...,) + (None,) * (x.ndim - 1)], vs, 0.0),
-        mode="drop", unique_indices=True)
+    out = jnp.zeros(out_shape, x.dtype)
+    if n <= _SEG_CHUNK:
+        return _seg_tails_one_chunk(out, x, seg, valid, num_segments)
+    c = -(-n // _SEG_CHUNK)
+    pad = c * _SEG_CHUNK - n
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    segp = jnp.pad(seg, (0, pad), constant_values=num_segments)
+    vp = jnp.pad(valid, (0, pad))
+    xr = xp.reshape((c, _SEG_CHUNK) + x.shape[1:])
+    segr = segp.reshape(c, _SEG_CHUNK)
+    vr = vp.reshape(c, _SEG_CHUNK)
+
+    def body(out, inp):
+        xb, sb, vb = inp
+        return _seg_tails_one_chunk(out, xb, sb, vb, num_segments), None
+
+    out, _ = jax.lax.scan(body, out, (xr, segr, vr))
+    return out
 
 
 class ContextModels:
@@ -196,51 +226,60 @@ class ContextModels:
         self.fine_size = spec3.level_sizes[-1]
         self.pn_res = self.fine_res                    # frac plane resolution
 
-    # ------------------------------------------------------------ host init
-    def _table_cache_dir(self):
-        import pathlib
-        d = pathlib.Path(__file__).resolve().parents[2] / ".table_cache"
-        d.mkdir(exist_ok=True)
-        return d
-
+    # ---------------------------------------------------------- device init
+    # The vertex->entry tables are built ON DEVICE: a 514^3 hash+argsort takes
+    # well under a second on TPU, while building on the host costs minutes of
+    # single-core numpy plus a ~2GB host->device transfer (measured at only a
+    # few MB/s through the tunneled backend).  Only per-level scalars (entry
+    # count, max window size) cross to the host.
     def _build_3d_level_arrays(self, l: int):
-        """(pos_flat, vert_entry, entry_values, counts) for one 3D level —
-        cached on disk (the sort of 514^3 vertices costs minutes on one
-        core and is identical across runs).  The dense-level shuffle uses a
-        per-level seed so results are deterministic regardless of which
-        levels were cache hits (codec both sides must agree)."""
-        rng = np.random.default_rng(1234 + l)
+        """(pos_flat, vert_entry, entry_values, counts, cum, n_entries) for
+        one 3D level, all device arrays.  The dense-level shuffle uses a
+        fixed per-level PRNG key so both codec sides rebuild the same order."""
         r = self.spec3.resolutions[l]
         tbl = self.spec3.level_sizes[l]
-        cache_file = self._table_cache_dir() / f"l3d_r{r}_t{tbl}.npz"
-        if cache_file.exists():
-            d = np.load(cache_file)
-            return (d["flat"], d["vert_entry"], d["values"], d["counts"])
-        flat_ids = np.arange(r * r * r, dtype=np.int64)
-        coords = np.empty((flat_ids.size, 3), np.int32)
-        coords[:, 0] = flat_ids // (r * r)
-        coords[:, 1] = (flat_ids // r) % r
-        coords[:, 2] = flat_ids % r
-        idx = hash_ops.grid_index_np(coords, r, tbl).astype(np.int32)
-        del coords
-        order = np.argsort(idx, kind="stable")
-        idx_sorted = idx[order]
-        flat = flat_ids[order].astype(np.int32)
-        del flat_ids, order, idx
-        values, counts = np.unique(idx_sorted, return_counts=True)
-        values = values.astype(np.int32)
-        counts = counts.astype(np.int32)
-        if r ** 3 <= tbl:
-            # dense level: shuffle entries for unbiased window sampling.
-            # deterministic: both codec sides rebuild the same order.
-            perm = rng.permutation(values.size)
+        v = r * r * r
+        dense = r ** 3 <= tbl
+
+        @jax.jit
+        def stage1():
+            ids = jnp.arange(v, dtype=jnp.int32)
+            coords = jnp.stack([ids // (r * r), (ids // r) % r, ids % r], -1)
+            idx = hash_ops.grid_index(coords, r, tbl)
+            order = jnp.argsort(idx)
+            idx_sorted = idx[order]
+            flat = ids[order]
+            head = jnp.concatenate([jnp.ones((1,), bool),
+                                    idx_sorted[1:] != idx_sorted[:-1]])
+            return idx_sorted, flat, head, jnp.sum(head.astype(jnp.int32))
+
+        idx_sorted, flat, head, n_entries = stage1()
+        e = int(n_entries)  # one scalar to host; shapes below are static
+
+        @jax.jit
+        def stage2(idx_sorted, flat, head):
+            hc = jnp.cumsum(head.astype(jnp.int32))
+            vert_entry = hc - 1                       # entry ordinal per vertex
+            # compact head positions -> per-entry start (scatter-free)
+            starts = jnp.searchsorted(hc, jnp.arange(1, e + 1,
+                                                     dtype=jnp.int32))
+            values = idx_sorted[starts]
+            ends = jnp.concatenate([starts[1:], jnp.asarray([v], jnp.int32)])
+            counts = ends - starts
+            return vert_entry, values, counts
+
+        vert_entry, values, counts = stage2(idx_sorted, flat, head)
+        if dense:
+            # dense level: shuffle entries for unbiased window sampling;
+            # counts are all 1 so flat reorders with values
+            perm = jax.random.permutation(jax.random.PRNGKey(1234 + l), e)
             values = values[perm]
             counts = counts[perm]
-            flat = flat[perm]  # counts are all 1 for dense levels
-        vert_entry = np.repeat(np.arange(values.size, dtype=np.int32), counts)
-        np.savez(cache_file, flat=flat, vert_entry=vert_entry, values=values,
-                 counts=counts)
-        return flat, vert_entry, values, counts
+            flat = flat[perm]
+            vert_entry = jnp.arange(e, dtype=jnp.int32)
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts).astype(jnp.int32)])
+        return flat, vert_entry, values, counts, cum, e
 
     def _build_3d_tables(self):
         ecfg, spec3 = self.cfg, self.spec3
@@ -255,19 +294,15 @@ class ContextModels:
             if l in self.cfg.skip_levels_3d:
                 entry_counts.append(min(tbl, r ** 3))  # allocation only
                 continue
-            flat, vert_entry, values, counts = self._build_3d_level_arrays(l)
-            cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-            entry_counts.append(values.size)
+            flat, vert_entry, values, counts, cum, e = \
+                self._build_3d_level_arrays(l)
+            entry_counts.append(e)
             self.tables3d[l] = Level3DTable(
                 level=l, resolution=r, offset=spec3.offsets[l],
-                n_entries=values.size, n_vertices=flat.size,
+                n_entries=e, n_vertices=r ** 3,
                 sample_n=0, max_win_pts=0,
-                pos_flat=jnp.asarray(flat),
-                vert_entry=jnp.asarray(vert_entry),
-                entry_values=jnp.asarray(values),
-                counts=jnp.asarray(counts),
-                cum=jnp.asarray(cum))
-            del flat, vert_entry
+                pos_flat=flat, vert_entry=vert_entry, entry_values=values,
+                counts=counts, cum=cum)
 
         # proportional entry sampling (utils_bpp_acc.py:350-352)
         counts_arr = np.asarray(entry_counts, np.float64)
@@ -279,10 +314,11 @@ class ContextModels:
             t = self.tables3d[l]
             sn = int(min(sample[l], t.n_entries))
             sn = max(sn, 1)
-            cum = np.asarray(t.cum)
-            win = cum[sn:] - cum[:-sn] if sn < t.n_entries else cum[-1:]
-            self.tables3d[l] = t._replace(sample_n=sn,
-                                          max_win_pts=int(win.max()))
+            if sn < t.n_entries:
+                win_max = int(jnp.max(t.cum[sn:] - t.cum[:-sn]))
+            else:
+                win_max = t.n_vertices
+            self.tables3d[l] = t._replace(sample_n=sn, max_win_pts=win_max)
 
     def _build_2d_tables(self):
         ecfg, spec2 = self.cfg, self.spec2
@@ -293,37 +329,53 @@ class ContextModels:
             r = spec2.resolutions[l]
             tile = (r - 2) // rb
             assert (r - 2) % rb == 0, "2D resolutions must be multiples of Rb"
-            bx = np.arange(rb, dtype=np.int64)
-            ox = np.arange(tile + 2, dtype=np.int64)
-            # block lattice coords: b*T + [0, T+1] (fetch_2D_batches :443-448)
-            cx = (bx[:, None] * tile + ox[None, :])  # [rb, T+2]
-            cells = np.stack(np.meshgrid(np.arange(rb), np.arange(rb),
-                                         indexing="ij"), -1).reshape(-1, 2)
-            gx = cx[cells[:, 0]]                     # [rb*rb, T+2]
-            gy = cx[cells[:, 1]]
-            px = np.repeat(gx[:, :, None], tile + 2, 2)
-            py = np.repeat(gy[:, None, :], tile + 2, 1)
-            coords = np.stack([px, py], -1).reshape(-1, 2)
-            block = np.repeat(cells[:, 0] * rb + cells[:, 1],
-                              (tile + 2) ** 2).astype(np.int32)
-            idx = hash_ops.grid_index_np(coords, r, sizes[l])
-            order = np.argsort(idx, kind="stable")
-            idx_sorted = idx[order]
-            values, counts = np.unique(idx_sorted, return_counts=True)
-            vert_entry = np.repeat(np.arange(values.size, dtype=np.int32),
-                                   counts)
-            cum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-            packed = ((coords[:, 0] << 16) | coords[:, 1]).astype(np.int32)
+            p = rb * rb * (tile + 2) ** 2
+
+            @jax.jit
+            def stage1():
+                # block lattice coords: b*T + [0, T+1] (fetch_2D_batches
+                # :443-448); point j of block (bi,bj) at offsets (oi,oj)
+                ids = jnp.arange(p, dtype=jnp.int32)
+                per_block = (tile + 2) ** 2
+                blk = ids // per_block
+                off = ids % per_block
+                bi, bj = blk // rb, blk % rb
+                oi, oj = off // (tile + 2), off % (tile + 2)
+                x = bi * tile + oi
+                y = bj * tile + oj
+                idx = hash_ops.grid_index(jnp.stack([x, y], -1), r, sizes[l])
+                order = jnp.argsort(idx)
+                idx_sorted = idx[order]
+                packed = ((x << 16) | y)[order]
+                block_s = blk[order]
+                head = jnp.concatenate([jnp.ones((1,), bool),
+                                        idx_sorted[1:] != idx_sorted[:-1]])
+                return (idx_sorted, packed, block_s, head,
+                        jnp.sum(head.astype(jnp.int32)))
+
+            idx_sorted, packed, block_s, head, n_entries = stage1()
+            e = int(n_entries)
+
+            @jax.jit
+            def stage2(idx_sorted, head):
+                hc = jnp.cumsum(head.astype(jnp.int32))
+                vert_entry = hc - 1
+                starts = jnp.searchsorted(hc, jnp.arange(1, e + 1,
+                                                         dtype=jnp.int32))
+                values = idx_sorted[starts]
+                ends = jnp.concatenate([starts[1:],
+                                        jnp.asarray([p], jnp.int32)])
+                return vert_entry, values, ends - starts
+
+            vert_entry, values, counts = stage2(idx_sorted, head)
+            cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(counts).astype(jnp.int32)])
             self.tables2d[l] = Level2DTable(
                 level=l, resolution=r, offset=spec2.offsets[l], tile=tile,
-                n_points=coords.shape[0], n_entries=values.size,
+                n_points=p, n_entries=e,
                 sample_n=0, max_win_pts=0,
-                coords=jnp.asarray(packed[order]),
-                block_id=jnp.asarray(block[order]),
-                vert_entry=jnp.asarray(vert_entry),
-                entry_values=jnp.asarray(values.astype(np.int32)),
-                counts=jnp.asarray(counts.astype(np.int32)),
-                cum=jnp.asarray(cum))
+                coords=packed, block_id=block_s, vert_entry=vert_entry,
+                entry_values=values, counts=counts, cum=cum)
 
         # optional window sampling for training (TPU adaptation; None = full)
         sn2 = getattr(ecfg, "sample_num_2d", None)
@@ -333,10 +385,12 @@ class ContextModels:
                 t = self.tables2d[l]
                 sn = max(1, min(int(round(t.n_entries * sn2 / tot)),
                                 t.n_entries))
-                cum = np.asarray(t.cum)
-                win = cum[sn:] - cum[:-sn] if sn < t.n_entries else cum[-1:]
+                if sn < t.n_entries:
+                    win_max = int(jnp.max(t.cum[sn:] - t.cum[:-sn]))
+                else:
+                    win_max = t.n_points
                 self.tables2d[l] = t._replace(sample_n=sn,
-                                              max_win_pts=int(win.max()))
+                                              max_win_pts=win_max)
         else:
             for l in self.ctx_levels_2d:
                 t = self.tables2d[l]

@@ -1,18 +1,21 @@
-"""Sort-based scatter-add and the fused hash-grid gather/interp op.
+"""Scatter-free scatter-add and the fused hash-grid gather/interp op.
 
-XLA TPU serializes scatter-add with duplicate indices (~15M updates/s
-measured — 1.7s for one training step's table gradients), and segment_sum
-lowers to the same scatter.  This module replaces the encoder's backward
-scatter with a sort-based reduction built only from fast primitives:
+XLA TPU serializes scatter ops (~65ns/element even with unique indices —
+measured), so a training step's ~25M table-gradient updates cost seconds.
+This module produces dense [T, F] accumulations without ANY scatter:
 
-  tuple-sort (key + value columns)  ->  per-column cumsum  ->
-  per-entry sums as csum[segment tail] - csum[segment head-1]  ->
-  two *unique-index* scatters of at most one element per table entry.
+  1. concatenate the N (index, value) updates with T sentinel rows
+     (arange(T), 0) so every table entry owns at least one row;
+  2. one `lax.sort` of the N+T tuples by index (~5ns/element);
+  3. chunked segmented inclusive scan (sums within equal-index runs);
+  4. the T run tails ARE the dense gradient in index order — compact them
+     with the cumsum+searchsorted gather trick (output slot j reads the
+     j-th tail).
 
 `level_gather_interp` wraps a whole level's 2^D-corner weighted gather in a
-custom_vjp whose backward uses `scatter_add_sorted`, giving the CUDA
-kernel_grid_backward semantics (gridencoder.cu:399-585: scatter-add of
-w * grad into touched entries) at sort-speed instead of scatter-speed.
+custom_vjp whose backward uses this path, giving the CUDA
+kernel_grid_backward semantics (gridencoder.cu:399-585: atomic scatter-add
+of w * grad into touched entries) at sort speed.
 """
 
 from __future__ import annotations
@@ -23,32 +26,74 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+_SCAN_CHUNK = 1 << 21
+
+
+def _chunked_segment_inclusive(vals: jnp.ndarray, keys: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Segmented inclusive sum over sorted contiguous keys, chunked so the
+    associative_scan never spans more than _SCAN_CHUNK elements (larger
+    single scans can OOM the TPU compiler).  Chunk carries propagate the
+    running sum of the segment that crosses the boundary."""
+    n, f = vals.shape
+    if n <= _SCAN_CHUNK:
+        head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+
+        def comb(a, b):
+            (va, fa), (vb, fb) = a, b
+            return jnp.where(fb[:, None], vb, va + vb), fa | fb
+
+        out, _ = jax.lax.associative_scan(comb, (vals, head))
+        return out
+    c = -(-n // _SCAN_CHUNK)
+    pad = c * _SCAN_CHUNK - n
+    vp = jnp.pad(vals, ((0, pad), (0, 0)))
+    kp = jnp.pad(keys, (0, pad), constant_values=keys[-1])
+    vr = vp.reshape(c, _SCAN_CHUNK, f)
+    kr = kp.reshape(c, _SCAN_CHUNK)
+
+    def body(carry, inp):
+        carry_key, carry_sum = carry
+        vb, kb = inp
+        head = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
+
+        def comb(a, b):
+            (va, fa), (vb_, fb) = a, b
+            return jnp.where(fb[:, None], vb_, va + vb_), fa | fb
+
+        vs, _ = jax.lax.associative_scan(comb, (vb, head))
+        # elements still in the carried-over segment get the carry added
+        in_carry = jnp.cumsum(head.astype(jnp.int32)) == 1
+        cont = (kb[0] == carry_key)
+        vs = vs + jnp.where((in_carry & cont)[:, None], carry_sum[None, :],
+                            0.0)
+        return (kb[-1], vs[-1]), vs
+
+    (_, _), out = jax.lax.scan(body, (keys[0] - 1, jnp.zeros((f,),
+                                                             vals.dtype)),
+                               (vr, kr))
+    return out.reshape(c * _SCAN_CHUNK, f)[:n]
+
 
 def scatter_add_sorted(vals: jnp.ndarray, idx: jnp.ndarray,
                        size: int) -> jnp.ndarray:
-    """Equivalent of zeros([size, F]).at[idx].add(vals) via sort+cumsum.
-
-    Args:
-      vals: [N, F] float32 updates.
-      idx: [N] int32 indices in [0, size).
-    """
+    """Equivalent of zeros([size, F]).at[idx].add(vals), scatter-free."""
     n, f = vals.shape
-    sorted_arrs = jax.lax.sort(
-        (idx,) + tuple(vals[:, i] for i in range(f)), num_keys=1)
-    sidx = sorted_arrs[0]
+    # sentinel row per output entry; sentinels sort before real updates with
+    # an equal index is not required — sums are order-independent
+    keys = jnp.concatenate([idx.astype(jnp.int32),
+                            jnp.arange(size, dtype=jnp.int32)])
+    cols = [jnp.concatenate([vals[:, i], jnp.zeros((size,), vals.dtype)])
+            for i in range(f)]
+    sorted_arrs = jax.lax.sort((keys,) + tuple(cols), num_keys=1)
+    skeys = sorted_arrs[0]
     svals = jnp.stack(sorted_arrs[1:], axis=-1)
-    csum = jnp.cumsum(svals, axis=0)
-    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
-    tail = jnp.concatenate([sidx[1:] != sidx[:-1], jnp.ones((1,), bool)])
-    # cumulative total at each segment's tail / just before each head
-    csum_excl = csum - svals
-    out = jnp.zeros((size, f), vals.dtype)
-    out = out.at[jnp.where(tail, sidx, size)].add(
-        jnp.where(tail[:, None], csum, 0.0), mode="drop", unique_indices=True)
-    out = out.at[jnp.where(head, sidx, size)].add(
-        jnp.where(head[:, None], -csum_excl, 0.0), mode="drop",
-        unique_indices=True)
-    return out
+    sums = _chunked_segment_inclusive(svals, skeys)
+    tail = jnp.concatenate([skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
+    # exactly `size` tails (every entry has a sentinel); compact via gathers
+    c = jnp.cumsum(tail.astype(jnp.int32))
+    tpos = jnp.searchsorted(c, jnp.arange(1, size + 1, dtype=jnp.int32))
+    return sums[tpos]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -57,7 +102,7 @@ def level_gather_interp(table: jnp.ndarray, gidx: jnp.ndarray,
     """sum_c w[:, c, None] * table[gidx[:, c]]  (one level, all corners).
 
     table: [T, F]; gidx: [N, C] int32; w: [N, C] float32 (0 for masked
-    corners).  Forward is a plain XLA gather; backward scatter-adds through
+    corners).  Forward is a plain XLA gather; backward accumulates through
     `scatter_add_sorted`.
     """
     feats = table[gidx]                      # [N, C, F]

@@ -59,8 +59,11 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
                  out_root: str = ".", max_steps: Optional[int] = None,
                  max_eval_images: Optional[int] = None,
                  log_fn=print) -> PipelineResult:
+    t0 = time.time()
     entropy = build_entropy(cfg) if cfg.train.lmbda > 0 else None
+    log_fn(f"entropy tables built in {time.time() - t0:.1f}s")
     trainer = Trainer(cfg, train_dataset, entropy=entropy)
+    log_fn("training...")
     elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
 
     log_fn("evaluating (pre-codec)...")

@@ -152,15 +152,23 @@ class Trainer:
             self.key, k_occ, k_rays, k_step = jax.random.split(self.key, 4)
             if s % cfg.render.occ_update_interval == 0:
                 warm = s < cfg.render.occ_warmup_steps
+                if s == 0 and log_every:
+                    log_fn("compiling occupancy update...")
                 self.occ_state = self._occ_step(warm)(
                     self.params, self.occ_state, k_occ)
                 if self.entropy is not None:
+                    if s == 0 and log_every:
+                        log_fn(f"occ done ({time.time()-tic:.1f}s); "
+                               "compiling cache refresh...")
                     ent_cache = self.entropy.refresh_cache(
                         self.occ_state.binaries, ent_cache)
 
             bucket = _next_bucket(self.num_rays, cfg.train.min_ray_bucket,
                                   cfg.train.max_ray_bucket)
             rays, pixels = self._fetch(bucket, k_rays)
+            if local == 0 and log_every:
+                log_fn(f"cache done ({time.time()-tic:.1f}s); compiling "
+                       f"train step (bucket={bucket})...")
             step_fn = self._train_step_fn(bucket)
             (self.params, self.ent_params, self.opt_state_rf,
              self.opt_state_ent, aux) = step_fn(

@@ -237,3 +237,18 @@ class TestRateEstimate:
                                   ("xz", spec2), ("yz", spec2))}
         bpp, _ = ctx.rate_estimate(ent, tables, binaries, key, cache)
         assert float(bpp) < 0.6, float(bpp)
+
+
+class TestSegmentTailsChunked:
+    def test_chunked_matches_direct(self, monkeypatch):
+        rng = np.random.default_rng(12)
+        n, s, f = 10000, 200, 3
+        seg = np.sort(rng.integers(0, s, n)).astype(np.int32)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+        valid = rng.random(n) < 0.8
+        direct = np.asarray(cm._segment_tail_values(
+            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(valid), s))
+        monkeypatch.setattr(cm, "_SEG_CHUNK", 512)
+        chunked = np.asarray(cm._segment_tail_values(
+            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(valid), s))
+        np.testing.assert_allclose(chunked, direct, atol=1e-4)
