@@ -45,19 +45,16 @@ from . import scatter_ops
 USE_SORTED_BACKWARD = True
 
 
-def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
-                 table: jnp.ndarray, offset, hashmap_size, resolution,
-                 occ_sat: Optional[jnp.ndarray], rb: int):
-    """Shared 2^D-corner gather/renormalize. Static D; resolution/offset may be
-    python ints (static level) or per-point arrays (mixed levels)."""
-    n, d = points.shape
-    f = table.shape[-1]
-    res_is_static = isinstance(resolution, (int, np.integer))
-    if res_is_static:
-        res_m1 = resolution - 1
-    else:
-        res_m1 = (resolution - 1)[:, None]
+def _corner_setup(frac: jnp.ndarray, pg: jnp.ndarray, offset, hashmap_size,
+                  resolution, occ_sat: Optional[jnp.ndarray], rb: int):
+    """Corner indices/weights for one level (no table access).
 
+    Returns (gidx [N, 2^D] global table indices, w [N, 2^D] weights; masked
+    corners carry weight 0 and index 0).  resolution/offset/hashmap_size may
+    be python ints (static level) or per-point arrays (mixed levels).
+    """
+    n, d = pg.shape
+    res_is_static = isinstance(resolution, (int, np.integer))
     gidx_list = []
     w_list = []
     for corner in range(1 << d):
@@ -66,16 +63,15 @@ def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
         w = jnp.ones((n,), dtype=jnp.float32)
         for ax in range(d):
             if bits[ax]:
-                cc.append(jnp.minimum(pg[:, ax] + 1,
-                                      res_m1 if res_is_static else resolution - 1))
+                cc.append(jnp.minimum(pg[:, ax] + 1, resolution - 1))
                 w = w * frac[:, ax]
             else:
                 cc.append(pg[:, ax])
                 w = w * (1.0 - frac[:, ax])
         cc = jnp.stack(cc, axis=-1)  # [N, D] int32
         zero_flag = jnp.zeros((n,), dtype=bool)
+        lim = (resolution - 1)
         for ax in range(d):
-            lim = res_m1 if res_is_static else resolution - 1
             zero_flag = zero_flag | (cc[:, ax] == 0) | (cc[:, ax] == lim)
         valid = ~zero_flag
         if occ_sat is not None:
@@ -84,21 +80,31 @@ def _corner_loop(points: jnp.ndarray, frac: jnp.ndarray, pg: jnp.ndarray,
         idx = hash_ops.grid_index(cc, resolution, hashmap_size)
         gidx_list.append(jnp.where(valid, idx + offset, 0))
         w_list.append(jnp.where(valid, w, 0.0))
-    gidx = jnp.stack(gidx_list, axis=-1)     # [N, 2^D]
-    w_eff = jnp.stack(w_list, axis=-1)       # [N, 2^D]
+    return jnp.stack(gidx_list, axis=-1), jnp.stack(w_list, axis=-1)
+
+
+def _gather_levels(table: jnp.ndarray, gidx: jnp.ndarray, w: jnp.ndarray,
+                   points: jnp.ndarray) -> jnp.ndarray:
+    """Grouped gather + renormalize + oob masking over stacked levels.
+
+    gidx/w: [N, G, 2^D].  Returns [N, G*F] level-major feature blocks.
+    ONE grouped op per encode call keeps the backward to a single
+    merge-densify sort (see ops/scatter_ops.py).
+    """
+    n, g, _ = gidx.shape
+    f = table.shape[-1]
     if USE_SORTED_BACKWARD:
-        acc = scatter_ops.level_gather_interp(table.astype(jnp.float32),
-                                              gidx, w_eff)
+        acc = scatter_ops.grouped_gather_interp(table.astype(jnp.float32),
+                                                gidx, w)
     else:
         feats = jnp.take(table, gidx, axis=0, mode="clip").astype(jnp.float32)
-        acc = jnp.einsum("nc,ncf->nf", w_eff, feats)
-    wn = jnp.sum(w_eff, axis=-1)
+        acc = jnp.einsum("ngc,ngcf->ngf", w, feats)
+    wn = jnp.sum(w, axis=-1)
     wn = jnp.where(wn == 0.0, 1e-9, wn)
-    out = acc / wn[:, None]
-    oob = jnp.zeros((n,), dtype=bool)
-    for ax in range(d):
-        oob = oob | (points[:, ax] < 0.0) | (points[:, ax] > 1.0)
-    return jnp.where(oob[:, None], 0.0, out)
+    out = acc / wn[..., None]
+    oob = jnp.any((points < 0.0) | (points > 1.0), axis=-1)
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(n, g * f)
 
 
 def _level_setup(points: jnp.ndarray, resolution):
@@ -123,13 +129,14 @@ def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
     if occ_sat is None and occ_binary is not None:
         occ_sat = sat_ops.build_sat(occ_binary)
     rb = (occ_sat.shape[0] - 1) if occ_sat is not None else 0
-    outs = []
+    gs, ws = [], []
     for li, r in enumerate(resolutions):
         frac, pg = _level_setup(points, r)
         hs = offsets[li + 1] - offsets[li]
-        outs.append(_corner_loop(points, frac, pg, table, offsets[li], hs, int(r),
-                                 occ_sat, rb))
-    return jnp.concatenate(outs, axis=-1)
+        gi, wi = _corner_setup(frac, pg, offsets[li], hs, int(r), occ_sat, rb)
+        gs.append(gi)
+        ws.append(wi)
+    return _gather_levels(table, jnp.stack(gs, 1), jnp.stack(ws, 1), points)
 
 
 def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
@@ -172,16 +179,17 @@ def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
     hs_arr = jnp.asarray(
         [spec.offsets[i + 1] - spec.offsets[i] for i in range(spec.n_levels)],
         dtype=jnp.int32)
-    outs = []
+    gs, ws = [], []
     for j in range(n_levels_calc):
         lvl = jnp.clip(min_level_ids + j, 0, spec.n_levels - 1)
         r = res_arr[lvl]
         off = off_arr[lvl]
         hs = hs_arr[lvl]
         frac, pg = _level_setup(points, r)
-        out = _corner_loop(points, frac, pg, table, off, hs, r, occ_sat, rb)
-        outs.append(out)
-    return jnp.concatenate(outs, axis=-1)
+        gi, wi = _corner_setup(frac, pg, off, hs, r, occ_sat, rb)
+        gs.append(gi)
+        ws.append(wi)
+    return _gather_levels(table, jnp.stack(gs, 1), jnp.stack(ws, 1), points)
 
 
 def grid_encode_given_table(points: jnp.ndarray, table: jnp.ndarray,

@@ -97,31 +97,40 @@ def scatter_add_sorted(vals: jnp.ndarray, idx: jnp.ndarray,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def level_gather_interp(table: jnp.ndarray, gidx: jnp.ndarray,
-                        w: jnp.ndarray) -> jnp.ndarray:
-    """sum_c w[:, c, None] * table[gidx[:, c]]  (one level, all corners).
+def grouped_gather_interp(table: jnp.ndarray, gidx: jnp.ndarray,
+                          w: jnp.ndarray) -> jnp.ndarray:
+    """out[n, g] = sum_c w[n, g, c] * table[gidx[n, g, c]].
 
-    table: [T, F]; gidx: [N, C] int32; w: [N, C] float32 (0 for masked
-    corners).  Forward is a plain XLA gather; backward accumulates through
-    `scatter_add_sorted`.
+    One op covers ALL levels (groups) of a multiresolution encode so the
+    backward runs a SINGLE merge-densify sort over every corner update —
+    a per-level op would emit one huge bitonic sort per level and blow up
+    the TPU compiler (observed: remote compile OOM at 27 sorts/step).
+
+    table: [T, F]; gidx: [N, G, C] int32 global indices; w: [N, G, C]
+    float32 (0 for masked corners).  Returns [N, G, F].
     """
-    feats = table[gidx]                      # [N, C, F]
-    return jnp.einsum("nc,ncf->nf", w, feats)
+    feats = table[gidx]                      # [N, G, C, F]
+    return jnp.einsum("ngc,ngcf->ngf", w, feats)
 
 
-def _lgi_fwd(table, gidx, w):
-    return level_gather_interp(table, gidx, w), (table, gidx, w)
+def _ggi_fwd(table, gidx, w):
+    return grouped_gather_interp(table, gidx, w), (table, gidx, w)
 
 
-def _lgi_bwd(res, g):
+def _ggi_bwd(res, g):
     table, gidx, w = res
-    n, c = gidx.shape
+    n, grp, c = gidx.shape
     f = table.shape[1]
-    upd = (g[:, None, :] * w[:, :, None]).reshape(n * c, f)
+    upd = (g[:, :, None, :] * w[..., None]).reshape(n * grp * c, f)
     d_table = scatter_add_sorted(upd, gidx.reshape(-1), table.shape[0])
     feats = table[gidx]                      # recomputed (cheaper than saving)
-    d_w = jnp.einsum("nf,ncf->nc", g, feats)
+    d_w = jnp.einsum("ngf,ngcf->ngc", g, feats)
     return d_table, None, d_w
 
 
-level_gather_interp.defvjp(_lgi_fwd, _lgi_bwd)
+grouped_gather_interp.defvjp(_ggi_fwd, _ggi_bwd)
+
+
+def level_gather_interp(table, gidx, w):
+    """Single-level convenience wrapper over grouped_gather_interp."""
+    return grouped_gather_interp(table, gidx[:, None, :], w[:, None, :])[:, 0]
