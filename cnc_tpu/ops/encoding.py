@@ -83,25 +83,38 @@ def _corner_setup(frac: jnp.ndarray, pg: jnp.ndarray, offset, hashmap_size,
     return jnp.stack(gidx_list, axis=-1), jnp.stack(w_list, axis=-1)
 
 
-def _gather_levels(table: jnp.ndarray, gidx: jnp.ndarray, w: jnp.ndarray,
+def _gather_levels(table: jnp.ndarray, gidx_list, w_list,
                    points: jnp.ndarray) -> jnp.ndarray:
-    """Grouped gather + renormalize + oob masking over stacked levels.
+    """Grouped gather + renormalize + oob masking over per-level corner sets.
 
-    gidx/w: [N, G, 2^D].  Returns [N, G*F] level-major feature blocks.
-    ONE grouped op per encode call keeps the backward to a single
-    merge-densify sort (see ops/scatter_ops.py).
+    gidx_list/w_list: G arrays of [N, 2^D].  Returns [N, G*F] level-major
+    feature blocks.  ONE grouped op per encode call keeps the backward to a
+    single merge-densify sort, and all internals stay 1-D/2-D — einsum over
+    tiny (level, corner, feature) dims makes XLA pick tiled transposed
+    layouts that pad catastrophically (see ops/scatter_ops.py).
     """
-    n, g, _ = gidx.shape
+    n = points.shape[0]
+    g = len(gidx_list)
+    c = gidx_list[0].shape[-1]
     f = table.shape[-1]
+    gidx2 = jnp.concatenate(gidx_list, axis=1)        # [N, G*C]
+    w2 = jnp.concatenate(w_list, axis=1)              # [N, G*C]
     if USE_SORTED_BACKWARD:
-        acc = scatter_ops.grouped_gather_interp(table.astype(jnp.float32),
-                                                gidx, w)
+        acc = scatter_ops.grouped_gather_interp(
+            table.astype(jnp.float32).reshape(-1), gidx2, w2, g, f)
     else:
-        feats = jnp.take(table, gidx, axis=0, mode="clip").astype(jnp.float32)
-        acc = jnp.einsum("ngc,ngcf->ngf", w, feats)
-    wn = jnp.sum(w, axis=-1)
+        feats = table.astype(jnp.float32).reshape(-1)[
+            scatter_ops._elem_indices(gidx2, f)]       # [N, G*C*F]
+        acc = jnp.zeros((n, g * f), jnp.float32)
+        for ci in range(c):
+            cols = (jnp.arange(g * f) // f) * (c * f) + ci * f + \
+                (jnp.arange(g * f) % f)
+            w_rep = jnp.repeat(w2[:, ci::c], f, axis=1)
+            acc = acc + w_rep * feats[:, cols]
+    # per-level weight sums: w2 columns are corner-major within each level
+    wn = jnp.sum(w2.reshape(n, g, c), axis=-1)        # [N, G] (small dims ok)
     wn = jnp.where(wn == 0.0, 1e-9, wn)
-    out = acc / wn[..., None]
+    out = acc.reshape(n, g, f) / wn[..., None]
     oob = jnp.any((points < 0.0) | (points > 1.0), axis=-1)
     out = jnp.where(oob[:, None, None], 0.0, out)
     return out.reshape(n, g * f)
@@ -136,7 +149,7 @@ def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
         gi, wi = _corner_setup(frac, pg, offsets[li], hs, int(r), occ_sat, rb)
         gs.append(gi)
         ws.append(wi)
-    return _gather_levels(table, jnp.stack(gs, 1), jnp.stack(ws, 1), points)
+    return _gather_levels(table, gs, ws, points)
 
 
 def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
@@ -189,7 +202,7 @@ def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
         gi, wi = _corner_setup(frac, pg, off, hs, r, occ_sat, rb)
         gs.append(gi)
         ws.append(wi)
-    return _gather_levels(table, jnp.stack(gs, 1), jnp.stack(ws, 1), points)
+    return _gather_levels(table, gs, ws, points)
 
 
 def grid_encode_given_table(points: jnp.ndarray, table: jnp.ndarray,

@@ -1,21 +1,21 @@
 """Scatter-free scatter-add and the fused hash-grid gather/interp op.
 
-XLA TPU serializes scatter ops (~65ns/element even with unique indices —
-measured), so a training step's ~25M table-gradient updates cost seconds.
-This module produces dense [T, F] accumulations without ANY scatter:
+Two TPU constraints shape this module:
 
-  1. concatenate the N (index, value) updates with T sentinel rows
-     (arange(T), 0) so every table entry owns at least one row;
-  2. one `lax.sort` of the N+T tuples by index (~5ns/element);
-  3. chunked segmented inclusive scan (sums within equal-index runs);
-  4. the T run tails ARE the dense gradient in index order — compact them
-     with the cumsum+searchsorted gather trick (output slot j reads the
-     j-th tail).
+  * XLA serializes scatter ops (~65ns/element even with unique indices —
+    measured), so a training step's ~25M table-gradient updates would cost
+    seconds.  Dense accumulations are built WITHOUT any scatter: one
+    `lax.sort` of the updates plus one sentinel row per table entry, a
+    chunked segmented scan, and a cumsum+searchsorted compaction of the run
+    tails (all gathers).
+  * arrays are tiled (8, 128): any big tensor with tiny minor dimensions
+    (e.g. [N, levels, corners, features] = [*, 12, 8, 4]) pads 17-32x and
+    OOMs HBM.  All internals here are 1-D or [N, >=96]-shaped 2-D, and the
+    feature gather is element-level from a flattened [T*F] table.
 
-`level_gather_interp` wraps a whole level's 2^D-corner weighted gather in a
-custom_vjp whose backward uses this path, giving the CUDA
-kernel_grid_backward semantics (gridencoder.cu:399-585: atomic scatter-add
-of w * grad into touched entries) at sort speed.
+`grouped_gather_interp` covers ALL levels of a multiresolution encode in one
+op so the backward runs a SINGLE merge-densify sort — per-level ops emitted
+one huge bitonic sort each and blew up the TPU compiler.
 """
 
 from __future__ import annotations
@@ -77,10 +77,13 @@ def _chunked_segment_inclusive(vals: jnp.ndarray, keys: jnp.ndarray
 
 def scatter_add_sorted(vals: jnp.ndarray, idx: jnp.ndarray,
                        size: int) -> jnp.ndarray:
-    """Equivalent of zeros([size, F]).at[idx].add(vals), scatter-free."""
+    """Equivalent of zeros([size, F]).at[idx].add(vals), scatter-free.
+
+    vals: [N, F] (F small, kept as separate 1-D sort operands so nothing
+    pads); idx: [N] int32 in [0, size).
+    """
     n, f = vals.shape
-    # sentinel row per output entry; sentinels sort before real updates with
-    # an equal index is not required — sums are order-independent
+    # sentinel row per output entry so every entry has a run tail
     keys = jnp.concatenate([idx.astype(jnp.int32),
                             jnp.arange(size, dtype=jnp.int32)])
     cols = [jnp.concatenate([vals[:, i], jnp.zeros((size,), vals.dtype)])
@@ -96,41 +99,68 @@ def scatter_add_sorted(vals: jnp.ndarray, idx: jnp.ndarray,
     return sums[tpos]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def grouped_gather_interp(table: jnp.ndarray, gidx: jnp.ndarray,
-                          w: jnp.ndarray) -> jnp.ndarray:
-    """out[n, g] = sum_c w[n, g, c] * table[gidx[n, g, c]].
+def _elem_indices(gidx2: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[N, K] entry indices -> [N, K*F] element indices into the flat table."""
+    rep = jnp.repeat(gidx2 * f, f, axis=1)
+    off = jnp.tile(jnp.arange(f, dtype=gidx2.dtype), gidx2.shape[1])
+    return rep + off[None, :]
 
-    One op covers ALL levels (groups) of a multiresolution encode so the
-    backward runs a SINGLE merge-densify sort over every corner update —
-    a per-level op would emit one huge bitonic sort per level and blow up
-    the TPU compiler (observed: remote compile OOM at 27 sorts/step).
 
-    table: [T, F]; gidx: [N, G, C] int32 global indices; w: [N, G, C]
-    float32 (0 for masked corners).  Returns [N, G, F].
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def grouped_gather_interp(table_flat: jnp.ndarray, gidx2: jnp.ndarray,
+                          w2: jnp.ndarray, groups: int, f: int) -> jnp.ndarray:
+    """out[n, g*F+f] = sum_c w2[n, g*C+c] * table_flat[gidx2[n, g*C+c]*F + f].
+
+    table_flat: [T*F] flattened table; gidx2/w2: [N, G*C] (corner-major
+    within each group).  Returns [N, G*F].
     """
-    feats = table[gidx]                      # [N, G, C, F]
-    return jnp.einsum("ngc,ngcf->ngf", w, feats)
+    n, k = gidx2.shape
+    c = k // groups
+    feats = table_flat[_elem_indices(gidx2, f)]        # [N, K*F]
+    out = jnp.zeros((n, groups * f), feats.dtype)
+    for ci in range(c):
+        cols = (jnp.arange(groups * f) // f) * (c * f) + ci * f + \
+            (jnp.arange(groups * f) % f)
+        w_rep = jnp.repeat(w2[:, ci::c], f, axis=1)    # [N, G*F]
+        out = out + w_rep * feats[:, cols]
+    return out
 
 
-def _ggi_fwd(table, gidx, w):
-    return grouped_gather_interp(table, gidx, w), (table, gidx, w)
+def _ggi_fwd(table_flat, gidx2, w2, groups, f):
+    return (grouped_gather_interp(table_flat, gidx2, w2, groups, f),
+            (table_flat, gidx2, w2))
 
 
-def _ggi_bwd(res, g):
-    table, gidx, w = res
-    n, grp, c = gidx.shape
-    f = table.shape[1]
-    upd = (g[:, :, None, :] * w[..., None]).reshape(n * grp * c, f)
-    d_table = scatter_add_sorted(upd, gidx.reshape(-1), table.shape[0])
-    feats = table[gidx]                      # recomputed (cheaper than saving)
-    d_w = jnp.einsum("ngf,ngcf->ngc", g, feats)
+def _ggi_bwd(groups, f, res, g):
+    table_flat, gidx2, w2 = res
+    n, k = gidx2.shape
+    c = k // groups
+    # d_table: one merge-densify over all corner updates; build each feature
+    # column as a 1-D array (update for (n,g,c,f) = g[n, g*F+f] * w2[n, g*C+c])
+    cols_f = []
+    for fi in range(f):
+        gf = g[:, fi::f]                               # [N, G]
+        gf_rep = jnp.repeat(gf, c, axis=1)             # [N, G*C]
+        cols_f.append((gf_rep * w2).reshape(-1))       # [N*K] 1-D
+    upd = jnp.stack(cols_f, axis=-1)                   # [N*K, F]
+    d_flat_rows = scatter_add_sorted(upd, gidx2.reshape(-1),
+                                     table_flat.shape[0] // f)  # [T, F]
+    d_table = d_flat_rows.reshape(-1)
+    # d_w[n, g*C+c] = sum_f g[n, g*F+f] * table[gidx*F+f]
+    feats = table_flat[_elem_indices(gidx2, f)]        # [N, K*F]
+    d_w = jnp.zeros_like(w2)
+    for fi in range(f):
+        gf = g[:, fi::f]                               # [N, G]
+        gf_rep = jnp.repeat(gf, c, axis=1)             # [N, G*C]
+        d_w = d_w + gf_rep * feats[:, fi::f]
     return d_table, None, d_w
 
 
 grouped_gather_interp.defvjp(_ggi_fwd, _ggi_bwd)
 
 
-def level_gather_interp(table, gidx, w):
-    """Single-level convenience wrapper over grouped_gather_interp."""
-    return grouped_gather_interp(table, gidx[:, None, :], w[:, None, :])[:, 0]
+def level_gather_interp(table: jnp.ndarray, gidx: jnp.ndarray,
+                        w: jnp.ndarray) -> jnp.ndarray:
+    """Single-level convenience wrapper: sum_c w[:,c,None]*table[gidx[:,c]]."""
+    f = table.shape[-1]
+    return grouped_gather_interp(table.reshape(-1), gidx, w, 1, f)
