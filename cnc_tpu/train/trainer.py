@@ -86,16 +86,17 @@ class Trainer:
         return fn
 
     # ----------------------------------------------------------------- step
-    def _train_step_fn(self, n_rays: int):
-        """Build/jit the train step for a given ray-bucket size."""
-        fn = self._jit_cache.get(("step", n_rays))
+    # The step is split into separately-jitted render-grad and rate-grad
+    # programs plus a small apply: the fused graph was too large for the TPU
+    # compiler at flagship scale, and the rate program is ray-bucket
+    # independent so it compiles exactly once.
+    def _render_grad_fn(self, n_rays: int):
+        fn = self._jit_cache.get(("render_grad", n_rays))
         if fn is not None:
             return fn
         cfg = self.cfg
-        use_entropy = self.entropy is not None and cfg.train.lmbda > 0
 
-        def loss_fn(params, ent_params, binaries, rays_o, rays_d, pixels,
-                    bkgd, key, ent_cache):
+        def loss_fn(params, binaries, rays_o, rays_d, pixels, bkgd, key):
             out = renderer.render_rays_train(
                 params, cfg.model, cfg.render, self.aabb, binaries,
                 rays_o, rays_d, key, bkgd)
@@ -103,32 +104,68 @@ class Trainer:
             aux = {"mse": loss, "n_samples": out.n_rendering_samples,
                    "n_marched": out.n_marched_samples,
                    "max_depth": jnp.max(out.depth)}
-            if use_entropy:
-                tables = rf.quantized_tables(params, cfg.model)
-                bpp, mb = self.entropy.rate_estimate(
-                    ent_params, tables, binaries, key, ent_cache)
-                loss = loss + cfg.train.lmbda * bpp
-                aux["bits_per_param"] = bpp
-                aux["embed_MB"] = mb
             return loss, aux
 
+        fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+        self._jit_cache[("render_grad", n_rays)] = fn
+        return fn
+
+    def _rate_grad_fn(self):
+        fn = self._jit_cache.get("rate_grad")
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+
+        def rate_loss(params, ent_params, binaries, key, ent_cache):
+            tables = rf.quantized_tables(params, cfg.model)
+            bpp, mb = self.entropy.rate_estimate(ent_params, tables, binaries,
+                                                 key, ent_cache)
+            return cfg.train.lmbda * bpp, {"bits_per_param": bpp,
+                                           "embed_MB": mb}
+
+        fn = jax.jit(jax.grad(rate_loss, argnums=(0, 1), has_aux=True))
+        self._jit_cache["rate_grad"] = fn
+        return fn
+
+    def _apply_fn(self):
+        fn = self._jit_cache.get("apply")
+        if fn is not None:
+            return fn
+        use_entropy = self.entropy is not None and self.cfg.train.lmbda > 0
+
         @jax.jit
-        def step(params, ent_params, opt_state_rf, opt_state_ent, binaries,
-                 rays_o, rays_d, pixels, bkgd, key, ent_cache):
-            grads, aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                params, ent_params, binaries, rays_o, rays_d, pixels, bkgd,
-                key, ent_cache)
-            g_rf, g_ent = grads
+        def apply(params, ent_params, opt_state_rf, opt_state_ent, g_rf,
+                  g_rate, g_ent):
+            if g_rate is not None:
+                g_rf = jax.tree.map(jnp.add, g_rf, g_rate)
             upd, opt_state_rf = self.opt_rf.update(g_rf, opt_state_rf, params)
             params = optax.apply_updates(params, upd)
             if use_entropy:
                 upd_e, opt_state_ent = self.opt_ent.update(
                     g_ent, opt_state_ent, ent_params)
                 ent_params = optax.apply_updates(ent_params, upd_e)
-            return params, ent_params, opt_state_rf, opt_state_ent, aux
+            return params, ent_params, opt_state_rf, opt_state_ent
 
-        self._jit_cache[("step", n_rays)] = step
-        return step
+        self._jit_cache["apply"] = apply
+        return apply
+
+    def _train_step(self, bucket, rays, pixels, bkgd, key, ent_cache):
+        use_entropy = self.entropy is not None and self.cfg.train.lmbda > 0
+        g_rf, aux = self._render_grad_fn(bucket)(
+            self.params, self.occ_state.binaries, rays.origins, rays.viewdirs,
+            pixels, bkgd, key)
+        g_rate = None
+        g_ent = self.ent_params
+        if use_entropy:
+            (g_rate, g_ent), aux2 = self._rate_grad_fn()(
+                self.params, self.ent_params, self.occ_state.binaries, key,
+                ent_cache)
+            aux = {**aux, **aux2}
+        (self.params, self.ent_params, self.opt_state_rf,
+         self.opt_state_ent) = self._apply_fn()(
+            self.params, self.ent_params, self.opt_state_rf,
+            self.opt_state_ent, g_rf, g_rate, g_ent)
+        return aux
 
     def _fetch(self, n_rays: int, key):
         fn = self._jit_cache.get(("fetch", n_rays))
@@ -169,12 +206,8 @@ class Trainer:
             if local == 0 and log_every:
                 log_fn(f"cache done ({time.time()-tic:.1f}s); compiling "
                        f"train step (bucket={bucket})...")
-            step_fn = self._train_step_fn(bucket)
-            (self.params, self.ent_params, self.opt_state_rf,
-             self.opt_state_ent, aux) = step_fn(
-                self.params, self.ent_params, self.opt_state_rf,
-                self.opt_state_ent, self.occ_state.binaries,
-                rays.origins, rays.viewdirs, pixels, bkgd, k_step, ent_cache)
+            aux = self._train_step(bucket, rays, pixels, bkgd, k_step,
+                                   ent_cache)
 
             # dynamic ray batching (driver :340-344), driven by the true
             # pre-truncation hit count so a saturated buffer shrinks the batch
