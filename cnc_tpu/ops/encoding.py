@@ -101,16 +101,18 @@ def _gather_levels(table: jnp.ndarray, gidx_list, w_list,
     w2 = jnp.concatenate(w_list, axis=1)              # [N, G*C]
     if USE_SORTED_BACKWARD:
         acc = scatter_ops.grouped_gather_interp(
-            table.astype(jnp.float32).reshape(-1), gidx2, w2, g, f)
+            table.astype(jnp.float32), gidx2, w2, g, f)
     else:
-        feats = table.astype(jnp.float32).reshape(-1)[
-            scatter_ops._elem_indices(gidx2, f)]       # [N, G*C*F]
-        acc = jnp.zeros((n, g * f), jnp.float32)
-        for ci in range(c):
-            cols = (jnp.arange(g * f) // f) * (c * f) + ci * f + \
-                (jnp.arange(g * f) % f)
-            w_rep = jnp.repeat(w2[:, ci::c], f, axis=1)
-            acc = acc + w_rep * feats[:, cols]
+        # reference path (plain autodiff scatter backward), for A/B testing
+        feats = jnp.take(table, gidx2, axis=0,
+                         mode="clip").astype(jnp.float32)  # [N, G*C, F]
+        accs = []
+        for gi in range(g):
+            blk_w = w2[:, gi * c:(gi + 1) * c]
+            blk_f = feats[:, gi * c:(gi + 1) * c]
+            accs.append(jnp.einsum("nc,ncf->nf", blk_w, blk_f))
+        acc = jnp.concatenate(accs, axis=1)
+    acc = acc.reshape(n, g * f)
     # per-level weight sums: w2 columns are corner-major within each level
     wn = jnp.sum(w2.reshape(n, g, c), axis=-1)        # [N, G] (small dims ok)
     wn = jnp.where(wn == 0.0, 1e-9, wn)
