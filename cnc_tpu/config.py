@@ -164,7 +164,7 @@ class EntropyConfig:
     # which is the reference behavior)
     sample_num_2d: Optional[int] = 65536
     # budget of occupancy-masked vertices entering the 3D context model per step
-    v_ctx_cap: int = 1 << 22
+    v_ctx_cap: int = 1 << 21
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,13 +74,10 @@ def _chunked_segment_inclusive_cols(cols, keys: jnp.ndarray):
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 
-def scatter_add_sorted_cols(cols, idx: jnp.ndarray, size: int):
-    """Per-column zeros([size]).at[idx].add(col), scatter-free.
+_SORT_CHUNK = 1 << 22
 
-    cols: sequence of [N] 1-D float arrays sharing idx ([N] int32 in
-    [0, size)).  Returns a tuple of [size] 1-D accumulations.
-    """
-    f = len(cols)
+
+def _densify_one(cols, idx, size):
     # sentinel row per output entry so every entry has a run tail
     keys = jnp.concatenate([idx.astype(jnp.int32),
                             jnp.arange(size, dtype=jnp.int32)])
@@ -94,6 +91,38 @@ def scatter_add_sorted_cols(cols, idx: jnp.ndarray, size: int):
     c = jnp.cumsum(tail.astype(jnp.int32))
     tpos = jnp.searchsorted(c, jnp.arange(1, size + 1, dtype=jnp.int32))
     return tuple(s[tpos] for s in sums)
+
+
+def scatter_add_sorted_cols(cols, idx: jnp.ndarray, size: int):
+    """Per-column zeros([size]).at[idx].add(col), scatter-free.
+
+    cols: sequence of [N] 1-D float arrays sharing idx ([N] int32 in
+    [0, size)).  Returns a tuple of [size] 1-D accumulations.
+
+    Updates beyond _SORT_CHUNK are processed in fixed-size chunks under
+    lax.scan (dense per-chunk results summed), so the compiled program
+    contains exactly ONE sort instruction whatever the total — a single
+    ~100M-element bitonic sort makes XLA's host passes run tens of minutes.
+    """
+    n = idx.shape[0]
+    if n <= _SORT_CHUNK:
+        return _densify_one(cols, idx, size)
+    f = len(cols)
+    q = -(-n // _SORT_CHUNK)
+    pad = q * _SORT_CHUNK - n
+    idx_p = jnp.pad(idx, (0, pad)).reshape(q, _SORT_CHUNK)
+    cols_p = tuple(jnp.pad(x, (0, pad)).reshape(q, _SORT_CHUNK)
+                   for x in cols)
+
+    def body(acc, inp):
+        idx_b = inp[0]
+        cols_b = inp[1:]
+        dense = _densify_one(cols_b, idx_b, size)
+        return tuple(a + d for a, d in zip(acc, dense)), None
+
+    acc0 = tuple(jnp.zeros((size,), x.dtype) for x in cols)
+    acc, _ = jax.lax.scan(body, acc0, (idx_p,) + cols_p)
+    return acc
 
 
 def scatter_add_sorted(vals: jnp.ndarray, idx: jnp.ndarray,

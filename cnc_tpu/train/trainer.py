@@ -149,7 +149,8 @@ class Trainer:
         self._jit_cache["apply"] = apply
         return apply
 
-    def _train_step(self, bucket, rays, pixels, bkgd, key, ent_cache):
+    def _train_step(self, bucket, rays, pixels, bkgd, key, ent_cache,
+                    log_fn=None):
         use_entropy = self.entropy is not None and self.cfg.train.lmbda > 0
         g_rf, aux = self._render_grad_fn(bucket)(
             self.params, self.occ_state.binaries, rays.origins, rays.viewdirs,
@@ -157,9 +158,15 @@ class Trainer:
         g_rate = None
         g_ent = self.ent_params
         if use_entropy:
+            if log_fn:
+                jax.block_until_ready(g_rf["xyz"])
+                log_fn(f"render-grad compiled; compiling rate-grad...")
             (g_rate, g_ent), aux2 = self._rate_grad_fn()(
                 self.params, self.ent_params, self.occ_state.binaries, key,
                 ent_cache)
+            if log_fn:
+                jax.block_until_ready(g_rate["xyz"])
+                log_fn("rate-grad compiled")
             aux = {**aux, **aux2}
         (self.params, self.ent_params, self.opt_state_rf,
          self.opt_state_ent) = self._apply_fn()(
@@ -207,7 +214,8 @@ class Trainer:
                 log_fn(f"cache done ({time.time()-tic:.1f}s); compiling "
                        f"train step (bucket={bucket})...")
             aux = self._train_step(bucket, rays, pixels, bkgd, k_step,
-                                   ent_cache)
+                                    ent_cache,
+                                    log_fn if local == 0 and log_every else None)
 
             # dynamic ray batching (driver :340-344), driven by the true
             # pre-truncation hit count so a saturated buffer shrinks the batch
