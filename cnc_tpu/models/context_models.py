@@ -609,25 +609,25 @@ class ContextModels:
                               entry_values=evals))
         return parts
 
-    def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
-                      binaries: jnp.ndarray, key, cache: Dict):
-        """Training-time bits-per-param (forward_binary_vxl_mixPg_3D2D).
+    @property
+    def total_param_count(self) -> int:
+        """Static count behind bits-per-param (3 planes + 3D grid)."""
+        f = self.cfg.n_features
+        return (3 * self.spec2.total_entries + self.spec3.total_entries) * f
 
-        tables: dict of binarized (+-1) tables {'xyz','xy','xz','yz'}.
-        Returns (bits_per_param, estimated MB).  Differentiable in both
-        ent_params and tables.
+    def rate_bits_2d(self, ent_params, tables: Dict[str, jnp.ndarray],
+                     key, cache: Dict):
+        """Total estimated bits of the three tri-plane tables (differentiable).
+
+        Separable from the 3D half so the trainer can jit each independently
+        — the combined gradient program exceeds what the TPU compiler
+        tolerates at flagship scale.
         """
         cfg = self.cfg
-        f = cfg.n_features
         ttl_bits = 0.0
-        ttl_num = 0.0
-
-        # ---------- 2D planes
         fine_table = tables["xyz"]
-        for ai, (ax, plane_key) in enumerate(
-                (("xy", "xy"), ("xz", "xz"), ("yz", "yz"))):
-            tbl2 = tables[plane_key]
-            ttl_num += tbl2.size
+        for ai, ax in enumerate(("xy", "xz", "yz")):
+            tbl2 = tables[ax]
             if cfg.use_dimension_wise:
                 frac_plane = self.pn_frac_plane(
                     fine_table, cache["pn"][ax],
@@ -647,10 +647,11 @@ class ContextModels:
                         cache["bin2d"][ai], cache["sat2d"][ai],
                         jax.random.fold_in(key, 100 + 10 * ai + l))
                 ttl_bits = ttl_bits + bits_n
+        return ttl_bits
 
-        # ---------- 3D grid
-        tbl3 = tables["xyz"]
-        ttl_num += tbl3.size
+    def rate_bits_3d(self, ent_params, tbl3: jnp.ndarray, key, cache: Dict):
+        """Total estimated bits of the 3D grid table (differentiable)."""
+        ttl_bits = 0.0
         pg_by_level = {}
         for l in range(self.spec3.n_levels):
             level_slice = jax.lax.dynamic_slice_in_dim(
@@ -659,10 +660,20 @@ class ContextModels:
             pg_by_level[l] = pg_n
             if l in self.cfg.skip_levels_3d or l >= self.pg_level:
                 ttl_bits = ttl_bits + bits_n
-        ttl_bits = ttl_bits + self._bits_3d_sampled(
+        return ttl_bits + self._bits_3d_sampled(
             ent_params, tbl3, pg_by_level, cache, key)
 
-        bpp = ttl_bits / ttl_num
+    def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
+                      binaries: jnp.ndarray, key, cache: Dict):
+        """Training-time bits-per-param (forward_binary_vxl_mixPg_3D2D).
+
+        tables: dict of binarized (+-1) tables {'xyz','xy','xz','yz'}.
+        Returns (bits_per_param, estimated MB).  Differentiable in both
+        ent_params and tables.
+        """
+        ttl_bits = (self.rate_bits_2d(ent_params, tables, key, cache)
+                    + self.rate_bits_3d(ent_params, tables["xyz"], key, cache))
+        bpp = ttl_bits / self.total_param_count
         return bpp, ttl_bits / 8.0 / 1024.0 / 1024.0
 
     # ------------------------------------------------------- 2D level pooling

@@ -110,21 +110,40 @@ class Trainer:
         self._jit_cache[("render_grad", n_rays)] = fn
         return fn
 
-    def _rate_grad_fn(self):
-        fn = self._jit_cache.get("rate_grad")
+    # the 2D-plane and 3D-grid rate gradients compile as separate programs:
+    # their combined graph exceeds what the TPU compiler tolerates
+    def _rate2d_grad_fn(self):
+        fn = self._jit_cache.get("rate2d_grad")
         if fn is not None:
             return fn
         cfg = self.cfg
+        scale = cfg.train.lmbda / self.entropy.total_param_count
 
-        def rate_loss(params, ent_params, binaries, key, ent_cache):
+        def loss(params, ent_params, key, ent_cache):
             tables = rf.quantized_tables(params, cfg.model)
-            bpp, mb = self.entropy.rate_estimate(ent_params, tables, binaries,
-                                                 key, ent_cache)
-            return cfg.train.lmbda * bpp, {"bits_per_param": bpp,
-                                           "embed_MB": mb}
+            bits = self.entropy.rate_bits_2d(ent_params, tables, key,
+                                             ent_cache)
+            return scale * bits, bits
 
-        fn = jax.jit(jax.grad(rate_loss, argnums=(0, 1), has_aux=True))
-        self._jit_cache["rate_grad"] = fn
+        fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
+        self._jit_cache["rate2d_grad"] = fn
+        return fn
+
+    def _rate3d_grad_fn(self):
+        fn = self._jit_cache.get("rate3d_grad")
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        scale = cfg.train.lmbda / self.entropy.total_param_count
+
+        def loss(params, ent_params, key, ent_cache):
+            tables = rf.quantized_tables(params, cfg.model)
+            bits = self.entropy.rate_bits_3d(ent_params, tables["xyz"], key,
+                                             ent_cache)
+            return scale * bits, bits
+
+        fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
+        self._jit_cache["rate3d_grad"] = fn
         return fn
 
     def _apply_fn(self):
@@ -160,14 +179,23 @@ class Trainer:
         if use_entropy:
             if log_fn:
                 jax.block_until_ready(g_rf["xyz"])
-                log_fn(f"render-grad compiled; compiling rate-grad...")
-            (g_rate, g_ent), aux2 = self._rate_grad_fn()(
-                self.params, self.ent_params, self.occ_state.binaries, key,
-                ent_cache)
+                log_fn("render-grad compiled; compiling 2D rate-grad...")
+            (g2, ge2), bits2d = self._rate2d_grad_fn()(
+                self.params, self.ent_params, key, ent_cache)
             if log_fn:
-                jax.block_until_ready(g_rate["xyz"])
-                log_fn("rate-grad compiled")
-            aux = {**aux, **aux2}
+                jax.block_until_ready(g2["xyz"])
+                log_fn("2D rate-grad compiled; compiling 3D rate-grad...")
+            (g3, ge3), bits3d = self._rate3d_grad_fn()(
+                self.params, self.ent_params, key, ent_cache)
+            if log_fn:
+                jax.block_until_ready(g3["xyz"])
+                log_fn("3D rate-grad compiled")
+            g_rate = jax.tree.map(jnp.add, g2, g3)
+            g_ent = jax.tree.map(jnp.add, ge2, ge3)
+            ttl_bits = bits2d + bits3d
+            aux = {**aux,
+                   "bits_per_param": ttl_bits / self.entropy.total_param_count,
+                   "embed_MB": ttl_bits / 8.0 / 1024.0 / 1024.0}
         (self.params, self.ent_params, self.opt_state_rf,
          self.opt_state_ent) = self._apply_fn()(
             self.params, self.ent_params, self.opt_state_rf,
