@@ -68,10 +68,15 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
         n_marched = jax.lax.psum(out.n_marched_samples, axis)
         return total_sq / n_total, n_vis, n_marched
 
+    # check_vma=False: outputs are psum-replicated but the transpose rule
+    # cannot statically infer replication for the cotangents of the
+    # replicated table/MLP inputs (per-device partial grads are psum'ed by
+    # the transpose itself).
     sharded_render_loss = jax.shard_map(
         render_loss, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )
 
     def loss_fn(params, ent_params, binaries, rays_o, rays_d, pixels, bkgd,
