@@ -119,21 +119,24 @@ _SEG_CHUNK = 1 << 20
 
 
 def _seg_tails_one_chunk(out, xb, segb, vb, num_segments):
-    """Chunk-local segment sums scattered (unique within chunk) into out."""
+    """Chunk-local segment sums scattered (unique within chunk) into out.
+
+    Plain per-column cumsum + two boundary scatters (tail adds the inclusive
+    prefix, head subtracts the prefix before the run) instead of a segmented
+    associative_scan — the tuple-carry scan alone cost minutes of TPU compile
+    (see ops/scatter_ops._densify_one).  Non-boundary rows are routed out of
+    range and dropped, so both scatters are unique-indexed.
+    """
     xm = jnp.where(vb[(...,) + (None,) * (xb.ndim - 1)], xb, 0.0)
-    head = jnp.concatenate([jnp.ones((1,), bool), segb[1:] != segb[:-1]])
-
-    def comb(a, b):
-        (va, fa), (vb_, fb) = a, b
-        f = fb if vb_.ndim == 1 else fb[:, None]
-        return jnp.where(f, vb_, va + vb_), fa | fb
-
-    vs, _ = jax.lax.associative_scan(comb, (xm, head))
-    tail = jnp.concatenate([segb[1:] != segb[:-1], jnp.ones((1,), bool)])
-    seg_safe = jnp.where(tail, segb, num_segments)
-    return out.at[seg_safe].add(
-        jnp.where(tail[(...,) + (None,) * (xb.ndim - 1)], vs, 0.0),
-        mode="drop", unique_indices=True)
+    change = segb[1:] != segb[:-1]
+    tail = jnp.concatenate([change, jnp.ones((1,), bool)])
+    head = jnp.concatenate([jnp.ones((1,), bool), change])
+    tidx = jnp.where(tail, segb, num_segments)
+    hidx = jnp.where(head, segb, num_segments)
+    csum = jnp.cumsum(xm, axis=0)
+    pre = jnp.concatenate([jnp.zeros_like(csum[:1]), csum[:-1]], axis=0)
+    out = out.at[tidx].add(csum, mode="drop", unique_indices=True)
+    return out.at[hidx].add(-pre, mode="drop", unique_indices=True)
 
 
 def _segment_tail_values(x: jnp.ndarray, seg: jnp.ndarray, valid: jnp.ndarray,

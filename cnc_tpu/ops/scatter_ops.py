@@ -27,70 +27,38 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-_SCAN_CHUNK = 1 << 21
-
-
-def _chunked_segment_inclusive_cols(cols, keys: jnp.ndarray):
-    """Segmented inclusive sums over sorted contiguous keys for several 1-D
-    value columns at once, chunked so no associative_scan spans more than
-    _SCAN_CHUNK elements (larger single scans OOM the TPU compiler).  Chunk
-    carries propagate the running sums of the boundary-crossing segment."""
-    n = keys.shape[0]
-    f = len(cols)
-
-    def comb(a, b):
-        fa, va = a[0], a[1:]
-        fb, vb = b[0], b[1:]
-        return (fa | fb,) + tuple(jnp.where(fb, y, x + y)
-                                  for x, y in zip(va, vb))
-
-    if n <= _SCAN_CHUNK:
-        head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-        out = jax.lax.associative_scan(comb, (head,) + tuple(cols))
-        return out[1:]
-
-    c = -(-n // _SCAN_CHUNK)
-    pad = c * _SCAN_CHUNK - n
-    kp = jnp.pad(keys, (0, pad), constant_values=keys[-1]).reshape(
-        c, _SCAN_CHUNK)
-    vr = tuple(jnp.pad(x, (0, pad)).reshape(c, _SCAN_CHUNK) for x in cols)
-
-    def body(carry, inp):
-        carry_key, carry_sums = carry
-        kb = inp[0]
-        vb = inp[1:]
-        head = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
-        out = jax.lax.associative_scan(comb, (head,) + vb)
-        vs = out[1:]
-        in_carry = (jnp.cumsum(head.astype(jnp.int32)) == 1) & \
-            (kb[0] == carry_key)
-        vs = tuple(v + jnp.where(in_carry, cs, 0.0)
-                   for v, cs in zip(vs, carry_sums))
-        return (kb[-1], tuple(v[-1] for v in vs)), vs
-
-    (_, _), outs = jax.lax.scan(
-        body, (keys[0] - 1, tuple(jnp.zeros((), x.dtype) for x in cols)),
-        (kp,) + vr)
-    return tuple(o.reshape(-1)[:n] for o in outs)
-
-
 _SORT_CHUNK = 1 << 22
 
 
 def _densify_one(cols, idx, size):
-    # sentinel row per output entry so every entry has a run tail
-    keys = jnp.concatenate([idx.astype(jnp.int32),
-                            jnp.arange(size, dtype=jnp.int32)])
-    ext = tuple(jnp.concatenate([x, jnp.zeros((size,), x.dtype)])
-                for x in cols)
-    sorted_arrs = jax.lax.sort((keys,) + ext, num_keys=1)
+    """Dense per-entry sums of one update chunk: sort by entry, plain cumsum
+    per column, and two masked unique-index scatters at the run boundaries
+    (out[k] += csum_at_tail(k) - csum_before_head(k)).
+
+    This replaced a sentinel-row + segmented-scan + searchsorted-compaction
+    design: the 5-tuple associative_scan alone cost ~260s of TPU compile and
+    the sentinel/searchsorted machinery ~0.7s of runtime per 4M-update chunk.
+    Plain cumsums are native HLO and the boundary rows are unique within the
+    chunk (non-boundary rows are routed out of range and dropped), so both
+    scatters qualify for unique_indices=True.
+    """
+    sorted_arrs = jax.lax.sort((idx.astype(jnp.int32),) + tuple(cols),
+                               num_keys=1)
     skeys = sorted_arrs[0]
-    sums = _chunked_segment_inclusive_cols(sorted_arrs[1:], skeys)
-    tail = jnp.concatenate([skeys[1:] != skeys[:-1], jnp.ones((1,), bool)])
-    # exactly `size` tails (every entry has a sentinel); compact via gathers
-    c = jnp.cumsum(tail.astype(jnp.int32))
-    tpos = jnp.searchsorted(c, jnp.arange(1, size + 1, dtype=jnp.int32))
-    return tuple(s[tpos] for s in sums)
+    change = skeys[1:] != skeys[:-1]
+    tail = jnp.concatenate([change, jnp.ones((1,), bool)])
+    head = jnp.concatenate([jnp.ones((1,), bool), change])
+    tidx = jnp.where(tail, skeys, size)
+    hidx = jnp.where(head, skeys, size)
+    outs = []
+    for c in sorted_arrs[1:]:
+        csum = jnp.cumsum(c)
+        pre = jnp.concatenate([jnp.zeros((1,), c.dtype), csum[:-1]])
+        o = jnp.zeros((size,), c.dtype).at[tidx].add(
+            csum, mode="drop", unique_indices=True)
+        o = o.at[hidx].add(-pre, mode="drop", unique_indices=True)
+        outs.append(o)
+    return tuple(outs)
 
 
 def scatter_add_sorted_cols(cols, idx: jnp.ndarray, size: int):
