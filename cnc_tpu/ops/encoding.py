@@ -39,9 +39,10 @@ from ..config import GridSpec
 from . import hash_ops, sat as sat_ops
 from . import scatter_ops
 
-# When True (default), table gradients go through the sort-based scatter
-# (ops/scatter_ops.py) instead of XLA's serialized scatter-add — ~10x faster
-# on TPU at training scale.  Flip for A/B testing.
+# When True (default), the encode runs through the fused grouped op
+# (ops/scatter_ops.grouped_gather_interp): layout-safe feature-major
+# gathers and per-column scatter-add gradients.  False = plain jnp.take +
+# einsum autodiff, kept for A/B testing.
 USE_SORTED_BACKWARD = True
 
 

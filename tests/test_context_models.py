@@ -239,16 +239,31 @@ class TestRateEstimate:
         assert float(bpp) < 0.6, float(bpp)
 
 
-class TestSegmentTailsChunked:
-    def test_chunked_matches_direct(self, monkeypatch):
+class TestSegmentTails:
+    def test_matches_numpy_oracle(self):
         rng = np.random.default_rng(12)
         n, s, f = 10000, 200, 3
         seg = np.sort(rng.integers(0, s, n)).astype(np.int32)
         x = rng.standard_normal((n, f)).astype(np.float32)
         valid = rng.random(n) < 0.8
-        direct = np.asarray(cm._segment_tail_values(
+        got = np.asarray(cm._segment_tail_values(
             jnp.asarray(x), jnp.asarray(seg), jnp.asarray(valid), s))
-        monkeypatch.setattr(cm, "_SEG_CHUNK", 512)
-        chunked = np.asarray(cm._segment_tail_values(
-            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(valid), s))
-        np.testing.assert_allclose(chunked, direct, atol=1e-4)
+        want = np.zeros((s, f), np.float32)
+        np.add.at(want, seg[valid], x[valid])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_1d_and_grad(self):
+        rng = np.random.default_rng(3)
+        n, s = 4096, 64
+        seg = np.sort(rng.integers(0, s, n)).astype(np.int32)
+        x = rng.standard_normal(n).astype(np.float32)
+        valid = rng.random(n) < 0.5
+        want = np.zeros((s,), np.float32)
+        np.add.at(want, seg[valid], x[valid])
+        fn = lambda x: cm._segment_tail_values(
+            x, jnp.asarray(seg), jnp.asarray(valid), s)
+        got = np.asarray(fn(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # gradient of sum over segments routes 1.0 to valid rows only
+        g = np.asarray(jax.grad(lambda x: jnp.sum(fn(x)))(jnp.asarray(x)))
+        np.testing.assert_allclose(g, valid.astype(np.float32), atol=1e-6)
