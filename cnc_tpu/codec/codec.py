@@ -168,7 +168,8 @@ class CNCCodec:
                     pooled, covered, values = self._pool2d_fn(l)(
                         ent_params, tbl2, pg_n=jnp.float32(pg),
                         frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0))
+                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0),
+                        tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
                     write(f"{ax}{l}", np.asarray(values)[cov],
                           np.asarray(pooled)[cov])
@@ -185,7 +186,8 @@ class CNCCodec:
             want_hi = min((c + 1) * chunk_e, t.n_entries)
             start = min(want_lo, t.n_entries - chunk_e)
             pooled, covered, values = fn(ent_params, tbl3, cache, pg_n=pg,
-                                         start_e=jnp.int32(start))
+                                         start_e=jnp.int32(start),
+                                         tbls=self.ctx.table_arrays)
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
             vals = np.asarray(values)[sl][cov]
@@ -239,7 +241,8 @@ class CNCCodec:
                     pooled, covered, _ = self._pool2d_fn(l)(
                         ent_params, rec2, pg_n=jnp.float32(pg),
                         frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0))
+                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0),
+                        tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
                     ps = np.clip(np.asarray(pooled)[cov].reshape(-1),
                                  P_CLIP, 1 - P_CLIP)
@@ -262,7 +265,8 @@ class CNCCodec:
             want_hi = min((c + 1) * chunk_e, t.n_entries)
             start = min(want_lo, t.n_entries - chunk_e)
             pooled, covered, _ = fn(ent_params, rec3, cache, pg_n=pg,
-                                    start_e=jnp.int32(start))
+                                    start_e=jnp.int32(start),
+                                    tbls=self.ctx.table_arrays)
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
             ps = np.clip(np.asarray(pooled)[sl][cov].reshape(-1),

@@ -362,6 +362,32 @@ class ContextModels:
                 self.tables2d[l] = t._replace(sample_n=t.n_entries,
                                               max_win_pts=t.n_points)
 
+    # ------------------------------------------------------- table arg pytree
+    @property
+    def table_arrays(self) -> Dict:
+        """Static vertex-table arrays as a pytree for passing INTO jits.
+
+        Through the tunneled axon backend, a device array captured as a jit
+        closure constant is fetched to host during lowering at ~7 s/MB
+        (measured); these tables total hundreds of MB at flagship scale, so
+        every jitted rate/pool function takes them as an argument instead.
+        """
+        t = getattr(self, "_table_arrays", None)
+        if t is None:
+            t = {
+                "3d": {str(l): {
+                    "pos_flat": tb.pos_flat, "vert_entry": tb.vert_entry,
+                    "entry_values": tb.entry_values, "cum": tb.cum}
+                    for l, tb in self.tables3d.items()},
+                "2d": {str(l): {
+                    "coords": tb.coords, "block_id": tb.block_id,
+                    "vert_entry": tb.vert_entry,
+                    "entry_values": tb.entry_values, "cum": tb.cum}
+                    for l, tb in self.tables2d.items()},
+            }
+            self._table_arrays = t
+        return t
+
     # --------------------------------------------------------------- params
     def init_params(self, key) -> Dict:
         f = self.cfg.n_features
@@ -553,21 +579,22 @@ class ContextModels:
         return plane.transpose(1, 0, 2).reshape(-1, f)
 
     # --------------------------------------------------- 3D training window
-    def _slice_3d_windows(self, key):
+    def _slice_3d_windows(self, key, tbls):
         """Random per-level entry windows -> concatenated padded vertex batch."""
         parts = []
         for l in self.ctx_levels_3d:
             t = self.tables3d[l]
+            a = tbls["3d"][str(l)]
             u = jax.random.uniform(jax.random.fold_in(key, l))
             start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
-            start_v = t.cum[start_e]
-            end_v = t.cum[start_e + t.sample_n]
-            pos = jax.lax.dynamic_slice(t.pos_flat, (start_v,),
+            start_v = a["cum"][start_e]
+            end_v = a["cum"][start_e + t.sample_n]
+            pos = jax.lax.dynamic_slice(a["pos_flat"], (start_v,),
                                         (t.max_win_pts,))
-            ve = jax.lax.dynamic_slice(t.vert_entry, (start_v,),
+            ve = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
                                        (t.max_win_pts,))
             vvalid = jnp.arange(t.max_win_pts) < (end_v - start_v)
-            evals = jax.lax.dynamic_slice(t.entry_values, (start_e,),
+            evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,),
                                           (t.sample_n,))
             parts.append(dict(level=l, pos=pos, slot=ve - start_e,
                               valid=vvalid, start_e=start_e,
@@ -581,14 +608,17 @@ class ContextModels:
         return (3 * self.spec2.total_entries + self.spec3.total_entries) * f
 
     def rate_bits_2d(self, ent_params, tables: Dict[str, jnp.ndarray],
-                     key, cache: Dict):
+                     key, cache: Dict, tbls: Optional[Dict] = None):
         """Total estimated bits of the three tri-plane tables (differentiable).
 
         Separable from the 3D half so the trainer can jit each independently
         — the combined gradient program exceeds what the TPU compiler
-        tolerates at flagship scale.
+        tolerates at flagship scale.  Inside jit, pass tbls=self.table_arrays
+        as a traced argument (closure capture costs ~7 s/MB of lowering on
+        the tunneled backend).
         """
         cfg = self.cfg
+        tbls = self.table_arrays if tbls is None else tbls
         ttl_bits = 0.0
         fine_table = tables["xyz"]
         for ai, ax in enumerate(("xy", "xz", "yz")):
@@ -610,12 +640,16 @@ class ContextModels:
                     bits_n = self._bits_2d_level(
                         ent_params, tbl2, l, pg_n, frac_plane,
                         cache["bin2d"][ai], cache["sat2d"][ai],
-                        jax.random.fold_in(key, 100 + 10 * ai + l))
+                        jax.random.fold_in(key, 100 + 10 * ai + l), tbls)
                 ttl_bits = ttl_bits + bits_n
         return ttl_bits
 
-    def rate_bits_3d(self, ent_params, tbl3: jnp.ndarray, key, cache: Dict):
-        """Total estimated bits of the 3D grid table (differentiable)."""
+    def rate_bits_3d(self, ent_params, tbl3: jnp.ndarray, key, cache: Dict,
+                     tbls: Optional[Dict] = None):
+        """Total estimated bits of the 3D grid table (differentiable).
+
+        Inside jit, pass tbls=self.table_arrays (see rate_bits_2d)."""
+        tbls = self.table_arrays if tbls is None else tbls
         ttl_bits = 0.0
         pg_by_level = {}
         for l in range(self.spec3.n_levels):
@@ -626,24 +660,27 @@ class ContextModels:
             if l in self.cfg.skip_levels_3d or l >= self.pg_level:
                 ttl_bits = ttl_bits + bits_n
         return ttl_bits + self._bits_3d_sampled(
-            ent_params, tbl3, pg_by_level, cache, key)
+            ent_params, tbl3, pg_by_level, cache, key, tbls)
 
     def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
-                      binaries: jnp.ndarray, key, cache: Dict):
+                      binaries: jnp.ndarray, key, cache: Dict,
+                      tbls: Optional[Dict] = None):
         """Training-time bits-per-param (forward_binary_vxl_mixPg_3D2D).
 
         tables: dict of binarized (+-1) tables {'xyz','xy','xz','yz'}.
         Returns (bits_per_param, estimated MB).  Differentiable in both
         ent_params and tables.
         """
-        ttl_bits = (self.rate_bits_2d(ent_params, tables, key, cache)
-                    + self.rate_bits_3d(ent_params, tables["xyz"], key, cache))
+        ttl_bits = (self.rate_bits_2d(ent_params, tables, key, cache, tbls)
+                    + self.rate_bits_3d(ent_params, tables["xyz"], key, cache,
+                                        tbls))
         bpp = ttl_bits / self.total_param_count
         return bpp, ttl_bits / 8.0 / 1024.0 / 1024.0
 
     # ------------------------------------------------------- 2D level pooling
     def pool_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
-                      bin2d, sat2d, start_e, n_e, w):
+                      bin2d, sat2d, start_e, n_e, w,
+                      tbls: Optional[Dict] = None):
         """Per-entry pooled context probabilities for one 2D level window.
 
         Returns (pooled [n_e,F], covered [n_e], values_q [n_e,F]).
@@ -652,13 +689,15 @@ class ContextModels:
         """
         cfg = self.cfg
         t = self.tables2d[level]
-        start_v = t.cum[start_e]
-        end_v = t.cum[start_e + n_e]
-        coords = jax.lax.dynamic_slice(t.coords, (start_v,), (w,))
-        blocks = jax.lax.dynamic_slice(t.block_id, (start_v,), (w,))
-        slots = jax.lax.dynamic_slice(t.vert_entry, (start_v,), (w,)) - start_e
+        a = (self.table_arrays if tbls is None else tbls)["2d"][str(level)]
+        start_v = a["cum"][start_e]
+        end_v = a["cum"][start_e + n_e]
+        coords = jax.lax.dynamic_slice(a["coords"], (start_v,), (w,))
+        blocks = jax.lax.dynamic_slice(a["block_id"], (start_v,), (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
+                                      (w,)) - start_e
         valid = jnp.arange(w) < (end_v - start_v)
-        evals = jax.lax.dynamic_slice(t.entry_values, (start_e,), (n_e,))
+        evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,), (n_e,))
 
         occ_block = bin2d.reshape(-1)[blocks] & valid     # block occupied
         x = (coords >> 16).astype(jnp.float32)
@@ -687,14 +726,14 @@ class ContextModels:
         return pooled, covered, values_q
 
     def _bits_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
-                       bin2d, sat2d, key):
+                       bin2d, sat2d, key, tbls):
         """Context-model bits of one 2D level over a sampled entry window."""
         t = self.tables2d[level]
         u = jax.random.uniform(key)
         start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
         pooled, covered, values_q = self.pool_2d_level(
             ent_params, tbl2, level, pg_n, frac_plane, bin2d, sat2d,
-            start_e, t.sample_n, t.max_win_pts)
+            start_e, t.sample_n, t.max_win_pts, tbls)
         bits = ent_ops.bernoulli_bits(values_q, pooled)
         bits = jnp.sum(jnp.where(covered[:, None], bits, 0.0))
         # extrapolate sampled window to the whole level (TPU adaptation;
@@ -703,7 +742,7 @@ class ContextModels:
 
     # ------------------------------------------------------- 3D level pooling
     def pool_3d_level(self, ent_params, tbl3, cache, level, pg_n, start_e,
-                      n_e, w):
+                      n_e, w, tbls: Optional[Dict] = None):
         """Per-entry pooled context probabilities for one 3D level window.
 
         Static level (context = levels [level-k, level)); used by the codec's
@@ -713,13 +752,15 @@ class ContextModels:
         cfg = self.cfg
         f = cfg.n_features
         t = self.tables3d[level]
+        a = (self.table_arrays if tbls is None else tbls)["3d"][str(level)]
         r = t.resolution
-        start_v = t.cum[start_e]
-        end_v = t.cum[start_e + n_e]
-        pos = jax.lax.dynamic_slice(t.pos_flat, (start_v,), (w,))
-        slots = jax.lax.dynamic_slice(t.vert_entry, (start_v,), (w,)) - start_e
+        start_v = a["cum"][start_e]
+        end_v = a["cum"][start_e + n_e]
+        pos = jax.lax.dynamic_slice(a["pos_flat"], (start_v,), (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
+                                      (w,)) - start_e
         valid = jnp.arange(w) < (end_v - start_v)
-        evals = jax.lax.dynamic_slice(t.entry_values, (start_e,), (n_e,))
+        evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,), (n_e,))
 
         mask = cache["mask"][str(level)][pos] & valid
         ovl = cache["ovl"][str(level)][pos]
@@ -753,10 +794,11 @@ class ContextModels:
         return pooled, covered, values_q
 
     # ------------------------------------------------------- 3D level bits
-    def _bits_3d_sampled(self, ent_params, tbl3, pg_by_level, cache, key):
+    def _bits_3d_sampled(self, ent_params, tbl3, pg_by_level, cache, key,
+                         tbls):
         cfg = self.cfg
         f = cfg.n_features
-        parts = self._slice_3d_windows(jax.random.fold_in(key, 7))
+        parts = self._slice_3d_windows(jax.random.fold_in(key, 7), tbls)
         if not parts:
             return 0.0
         # concat vertex windows (static total size)

@@ -80,7 +80,7 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
     )
 
     def loss_fn(params, ent_params, binaries, rays_o, rays_d, pixels, bkgd,
-                key, ent_cache):
+                key, ent_cache, ent_tbls):
         mse, n_vis, n_marched = sharded_render_loss(
             params, binaries, rays_o, rays_d, pixels, bkgd, key)
         loss = mse
@@ -88,7 +88,7 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
         if use_entropy:
             tables = rf.quantized_tables(params, cfg.model)
             bpp, mb = entropy.rate_estimate(ent_params, tables, binaries, key,
-                                            ent_cache)
+                                            ent_cache, ent_tbls)
             loss = loss + cfg.train.lmbda * bpp
             aux["bits_per_param"] = bpp
             aux["embed_MB"] = mb
@@ -96,10 +96,10 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
 
     @jax.jit
     def step(params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
-             bkgd, key, ent_cache):
+             bkgd, key, ent_cache, ent_tbls):
         grads, aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
             params, ent_params, binaries, rays_o, rays_d, pixels, bkgd, key,
-            ent_cache)
+            ent_cache, ent_tbls)
         upd, opt_state = opt.update(grads[0], opt_state, params)
         params = optax.apply_updates(params, upd)
         return params, grads[1], opt_state, aux
@@ -151,7 +151,7 @@ def dryrun_multichip(n_devices: int) -> None:
     step = make_dp_train_step(cfg, mesh, opt, entropy=entropy)
     params2, g_ent, opt_state, aux = step(
         params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
-        jnp.ones(3), key, cache)
+        jnp.ones(3), key, cache, entropy.table_arrays)
     jax.block_until_ready(params2)
     assert np.isfinite(float(aux["mse"]))
     assert np.isfinite(float(aux["bits_per_param"]))

@@ -119,10 +119,10 @@ class Trainer:
         cfg = self.cfg
         scale = cfg.train.lmbda / self.entropy.total_param_count
 
-        def loss(params, ent_params, key, ent_cache):
+        def loss(params, ent_params, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
             bits = self.entropy.rate_bits_2d(ent_params, tables, key,
-                                             ent_cache)
+                                             ent_cache, tbls)
             return scale * bits, bits
 
         fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
@@ -136,10 +136,10 @@ class Trainer:
         cfg = self.cfg
         scale = cfg.train.lmbda / self.entropy.total_param_count
 
-        def loss(params, ent_params, key, ent_cache):
+        def loss(params, ent_params, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
             bits = self.entropy.rate_bits_3d(ent_params, tables["xyz"], key,
-                                             ent_cache)
+                                             ent_cache, tbls)
             return scale * bits, bits
 
         fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
@@ -181,12 +181,14 @@ class Trainer:
                 jax.block_until_ready(g_rf["xyz"])
                 log_fn("render-grad compiled; compiling 2D rate-grad...")
             (g2, ge2), bits2d = self._rate2d_grad_fn()(
-                self.params, self.ent_params, key, ent_cache)
+                self.params, self.ent_params, key, ent_cache,
+                self.entropy.table_arrays)
             if log_fn:
                 jax.block_until_ready(g2["xyz"])
                 log_fn("2D rate-grad compiled; compiling 3D rate-grad...")
             (g3, ge3), bits3d = self._rate3d_grad_fn()(
-                self.params, self.ent_params, key, ent_cache)
+                self.params, self.ent_params, key, ent_cache,
+                self.entropy.table_arrays)
             if log_fn:
                 jax.block_until_ready(g3["xyz"])
                 log_fn("3D rate-grad compiled")
