@@ -124,13 +124,20 @@ class SubjectLoader360:
     def __len__(self):
         return self.rgbs.shape[0]
 
-    def fetch_rays(self, key, num_rays: int):
+    @property
+    def ray_data(self):
+        """Device-array pytree for jitted fetch (see scenes.ray_data)."""
+        return {"rgbs": self.rgbs, "camtoworlds": self.camtoworlds,
+                "K": self.K}
+
+    def fetch_rays(self, key, num_rays: int, data=None):
+        d = self.ray_data if data is None else data
         k1, k2, k3 = jax.random.split(key, 3)
         img = jax.random.randint(k1, (num_rays,), 0, len(self))
         x = jax.random.randint(k2, (num_rays,), 0, self.WIDTH)
         y = jax.random.randint(k3, (num_rays,), 0, self.HEIGHT)
-        pixels = self.rgbs[img, y, x]
-        rays = cameras.pixel_rays(self.K, self.camtoworlds[img], x, y,
+        pixels = d["rgbs"][img, y, x]
+        rays = cameras.pixel_rays(d["K"], d["camtoworlds"][img], x, y,
                                   opengl=False)
         return rays, pixels
 

@@ -84,15 +84,22 @@ class SubjectLoader:
             bkgd = jnp.ones(3)
         return rgb * alpha + bkgd * (1.0 - alpha), bkgd
 
-    def fetch_rays(self, key, num_rays: int):
+    @property
+    def ray_data(self):
+        """Device-array pytree for jitted fetch (see scenes.ray_data)."""
+        return {"rgbs": self.rgbs, "alphas": self.alphas,
+                "camtoworlds": self.camtoworlds, "K": self.K}
+
+    def fetch_rays(self, key, num_rays: int, data=None):
+        d = self.ray_data if data is None else data
         k1, k2, k3, k4 = jax.random.split(key, 4)
         img = jax.random.randint(k1, (num_rays,), 0, len(self))
         x = jax.random.randint(k2, (num_rays,), 0, self.WIDTH)
         y = jax.random.randint(k3, (num_rays,), 0, self.HEIGHT)
-        rgb = self.rgbs[img, y, x]
-        alpha = self.alphas[img, y, x]
+        rgb = d["rgbs"][img, y, x]
+        alpha = d["alphas"][img, y, x]
         pixels, _ = self._composite(rgb, alpha, k4)
-        rays = cameras.pixel_rays(self.K, self.camtoworlds[img], x, y,
+        rays = cameras.pixel_rays(d["K"], d["camtoworlds"][img], x, y,
                                   opengl=self.OPENGL_CAMERA)
         return rays, pixels
 

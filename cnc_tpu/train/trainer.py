@@ -207,10 +207,16 @@ class Trainer:
     def _fetch(self, n_rays: int, key):
         fn = self._jit_cache.get(("fetch", n_rays))
         if fn is None:
-            fn = jax.jit(functools.partial(self.dataset.fetch_rays,
-                                           num_rays=n_rays))
+            # image stacks go in as a jit ARGUMENT: a closure-captured device
+            # array costs ~7 s/MB of lowering through the tunneled backend
+            fetch = self.dataset.fetch_rays
+
+            def fetch_fn(key, data):
+                return fetch(key, num_rays=n_rays, data=data)
+
+            fn = jax.jit(fetch_fn)
             self._jit_cache[("fetch", n_rays)] = fn
-        return fn(key)
+        return fn(key, self.dataset.ray_data)
 
     # ------------------------------------------------------------------ fit
     def fit(self, max_steps: Optional[int] = None, log_every: int = 200,
