@@ -71,9 +71,15 @@ def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
     n, k = gidx2.shape
     c = k // groups
     feats = jnp.take(table, gidx2, axis=0, mode="clip")   # [N, K, F]
-    out = jnp.einsum("ngc,ngcf->ngf", w2.reshape(n, groups, c),
-                     feats.reshape(n, groups, c, f))
-    return out.reshape(n, groups * f)
+    # per-group 3-D einsums, NOT one 4-D [N,G,C,F] einsum: the 4-D reshape
+    # materializes with (8,128) tiling over the two tiny minor dims — a
+    # 3.2 GB logical array padded to 64 GB (observed compile-time OOM)
+    outs = []
+    for g in range(groups):
+        blk_w = w2[:, g * c:(g + 1) * c]                  # [N, C]
+        blk_f = feats[:, g * c:(g + 1) * c]               # [N, C, F]
+        outs.append(jnp.einsum("nc,ncf->nf", blk_w, blk_f))
+    return jnp.concatenate(outs, axis=1)                  # [N, G*F]
 
 
 def _ggi_fwd(table, gidx2, w2, groups, f):
@@ -87,20 +93,24 @@ def _ggi_bwd(groups, f, res, g):
     c = k // groups
     t = table.shape[0]
     gflat = gidx2.reshape(-1)
-    g3 = g.reshape(n, groups, f)
-    w3 = w2.reshape(n, groups, c)
-    # d_table via per-feature 1-D column scatters:
-    # upd(n, g*C+ci, fi) = g[n, g*F+fi] * w2[n, g*C+ci]
+    # d_table via per-feature 1-D column scatters; all big intermediates stay
+    # [N, K] 2-D (no [N,G,C,F] reshapes — see forward)
     d_cols = []
     for fi in range(f):
-        col = (g3[:, :, fi][:, :, None] * w3).reshape(-1)   # [N*K]
+        parts = [g[:, gi * f + fi][:, None] * w2[:, gi * c:(gi + 1) * c]
+                 for gi in range(groups)]
+        col = jnp.concatenate(parts, axis=1).reshape(-1)    # [N*K]
         d_cols.append(jnp.zeros((t,), col.dtype).at[gflat].add(
             col, mode="drop"))
     d_table = jnp.stack(d_cols, axis=-1)              # [T, F] (small boundary)
     # d_w[n, g*C+c] = sum_f g[n, g*F+f] * table[gidx, f] — one row gather
-    feats = jnp.take(table, gidx2, axis=0,
-                     mode="clip").reshape(n, groups, c, f)
-    d_w = jnp.einsum("ngf,ngcf->ngc", g3, feats).reshape(n, k)
+    feats = jnp.take(table, gidx2, axis=0, mode="clip")     # [N, K, F]
+    dw_parts = []
+    for gi in range(groups):
+        gg = g[:, gi * f:(gi + 1) * f]                      # [N, F]
+        blk_f = feats[:, gi * c:(gi + 1) * c]               # [N, C, F]
+        dw_parts.append(jnp.einsum("nf,ncf->nc", gg, blk_f))
+    d_w = jnp.concatenate(dw_parts, axis=1)                 # [N, K]
     return d_table, None, d_w
 
 
