@@ -168,7 +168,7 @@ class CNCCodec:
                     pooled, covered, values = self._pool2d_fn(l)(
                         ent_params, tbl2, pg_n=jnp.float32(pg),
                         frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0),
+                        mask2d=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
                     write(f"{ax}{l}", np.asarray(values)[cov],
@@ -241,7 +241,7 @@ class CNCCodec:
                     pooled, covered, _ = self._pool2d_fn(l)(
                         ent_params, rec2, pg_n=jnp.float32(pg),
                         frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        sat2d=cache["sat2d"][ai], start_e=jnp.int32(0),
+                        mask2d=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
                     ps = np.clip(np.asarray(pooled)[cov].reshape(-1),

@@ -46,6 +46,7 @@ from ..ops import encoding as enc
 from ..ops import entropy as ent_ops
 from ..ops import hash_ops
 from ..ops import sat as sat_ops
+from ..ops import scatter_ops
 
 
 # --------------------------------------------------------------------------
@@ -425,15 +426,16 @@ class ContextModels:
     def init_cache(self) -> Dict:
         """Zero-filled cache with the static shapes refresh_cache produces."""
         rb = self.rb
+        m3_total = sum(r ** 3 for r in self.spec3.resolutions)
+        m2_total = sum(r ** 2 for r in self.mask2d_resolutions)
         cache = {
-            "sat3d": jnp.zeros((rb + 1,) * 3, jnp.int32),
             "bin2d": jnp.zeros((3, rb, rb), bool),
-            "sat2d": jnp.zeros((3, rb + 1, rb + 1), jnp.int32),
-            "mask": {}, "ovl": {},
+            "mask3d": jnp.zeros((m3_total,), bool),
+            "mask2d": jnp.zeros((3, m2_total), bool),
+            "ovl": {},
         }
         for l in self.ctx_levels_3d:
             r = self.tables3d[l].resolution
-            cache["mask"][str(l)] = jnp.zeros((r ** 3,), bool)
             cache["ovl"][str(l)] = jnp.zeros((r ** 3,), jnp.float32)
         cap = self.cfg.pn_coords_cap
         cache["pn"] = {ax: {
@@ -452,21 +454,62 @@ class ContextModels:
 
     def _refresh_impl(self, binaries):
         rb = self.rb
-        cache = {"sat3d": sat_ops.build_sat(binaries)}
+        cache = {}
         bin2d = jnp.stack([jnp.any(binaries, axis=2),   # xy
                            jnp.any(binaries, axis=1),   # xz
                            jnp.any(binaries, axis=0)])  # yz
         cache["bin2d"] = bin2d
-        cache["sat2d"] = jnp.stack([sat_ops.build_sat(bin2d[i])
-                                    for i in range(3)])
-        cache["mask"], cache["ovl"] = {}, {}
-        for l in self.ctx_levels_3d:
-            r = self.tables3d[l].resolution
-            m, o = _dense_mask_overlap_grids(binaries, r, rb)
-            cache["mask"][str(l)] = m.reshape(-1)
-            cache["ovl"][str(l)] = o.reshape(-1)
+        # flat per-corner mask grids over ALL levels: the encoder and pooling
+        # gather ONE bool per corner instead of 2^D SAT reads (the SAT box
+        # query was ~1/3 of the whole rate3d forward)
+        m3 = []
+        cache["ovl"] = {}
+        for l in range(self.spec3.n_levels):
+            r = self.spec3.resolutions[l]
+            if l in self.ctx_levels_3d:
+                m, o = _dense_mask_overlap_grids(binaries, r, rb)
+                cache["ovl"][str(l)] = o.reshape(-1)
+            else:
+                m = _dense_mask_grid(binaries, r, rb)
+            m3.append(m.reshape(-1))
+        cache["mask3d"] = jnp.concatenate(m3)
+        m2 = []
+        for ai in range(3):
+            m2.append(jnp.concatenate(
+                [_dense_mask_grid(bin2d[ai], r, rb).reshape(-1)
+                 for r in self.mask2d_resolutions]))
+        cache["mask2d"] = jnp.stack(m2)
         cache["pn"] = self._refresh_pn_coords(binaries)
         return cache
+
+    @property
+    def mask3d_offsets(self):
+        """Per-3D-level start offsets into the flat cache['mask3d']."""
+        offs = [0]
+        for r in self.spec3.resolutions:
+            offs.append(offs[-1] + r ** 3)
+        return tuple(offs[:-1])
+
+    @property
+    def mask2d_resolutions(self):
+        """Resolutions covered by cache['mask2d'] per axis: every 2D level
+        plus (if absent) the dimension-wise prior's plane resolution."""
+        res = list(self.spec2.resolutions)
+        if self.pn_res not in res:
+            res.append(self.pn_res)
+        return tuple(res)
+
+    @property
+    def mask2d_offsets(self):
+        offs = [0]
+        for r in self.mask2d_resolutions:
+            offs.append(offs[-1] + r ** 2)
+        return tuple(offs[:-1])
+
+    @property
+    def pn_mask_offset(self):
+        return self.mask2d_offsets[
+            self.mask2d_resolutions.index(self.pn_res)]
 
     def _refresh_pn_coords(self, binaries):
         """Dilated occupied coord lists sorted by projected bin (per axis).
@@ -500,10 +543,7 @@ class ContextModels:
         # dil[i,j,k] true => lattice coord (i+1, j+1, k+1) is in the list
         out = {}
         flat = dil.reshape(-1)
-        c = jnp.cumsum(flat.astype(jnp.int32))
-        n = c[-1]
-        src = jnp.searchsorted(c, jnp.arange(1, cap + 1, dtype=jnp.int32))
-        src = jnp.minimum(src, scale ** 3 - 1)
+        src, n = scatter_ops.compact_mask_indices(flat, cap)
         valid = jnp.arange(cap) < jnp.minimum(n, cap)
         x = src // (scale * scale)
         y = (src // scale) % scale
@@ -639,7 +679,7 @@ class ContextModels:
                 if l in self.ctx_levels_2d:
                     bits_n = self._bits_2d_level(
                         ent_params, tbl2, l, pg_n, frac_plane,
-                        cache["bin2d"][ai], cache["sat2d"][ai],
+                        cache["bin2d"][ai], cache["mask2d"][ai],
                         jax.random.fold_in(key, 100 + 10 * ai + l), tbls)
                 ttl_bits = ttl_bits + bits_n
         return ttl_bits
@@ -679,7 +719,7 @@ class ContextModels:
 
     # ------------------------------------------------------- 2D level pooling
     def pool_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
-                      bin2d, sat2d, start_e, n_e, w,
+                      bin2d, mask2d, start_e, n_e, w,
                       tbls: Optional[Dict] = None):
         """Per-entry pooled context probabilities for one 2D level window.
 
@@ -706,11 +746,13 @@ class ContextModels:
 
         cln = min(level, cfg.max_context_layer_num)
         ctx = enc.grid_encode(pts, tbl2, self.spec2, level - cln, level,
-                              occ_sat=sat2d)
+                              occ_mask=mask2d,
+                              mask_offsets=self.mask2d_offsets)
         feats = [ctx]
         if frac_plane is not None:
-            ctx_pn = enc.grid_encode_given_table(pts, frac_plane, self.pn_res,
-                                                 occ_sat=sat2d)
+            ctx_pn = enc.grid_encode_given_table(
+                pts, frac_plane, self.pn_res, occ_mask=mask2d,
+                mask_offset=self.pn_mask_offset)
             feats.append(ctx_pn)
         feats.append(jnp.broadcast_to(pg_n[None, None], (w, 1)))
         mean = self.apply_ctx2d(ent_params["ctx2d"], level,
@@ -726,13 +768,13 @@ class ContextModels:
         return pooled, covered, values_q
 
     def _bits_2d_level(self, ent_params, tbl2, level, pg_n, frac_plane,
-                       bin2d, sat2d, key, tbls):
+                       bin2d, mask2d, key, tbls):
         """Context-model bits of one 2D level over a sampled entry window."""
         t = self.tables2d[level]
         u = jax.random.uniform(key)
         start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
         pooled, covered, values_q = self.pool_2d_level(
-            ent_params, tbl2, level, pg_n, frac_plane, bin2d, sat2d,
+            ent_params, tbl2, level, pg_n, frac_plane, bin2d, mask2d,
             start_e, t.sample_n, t.max_win_pts, tbls)
         bits = ent_ops.bernoulli_bits(values_q, pooled)
         bits = jnp.sum(jnp.where(covered[:, None], bits, 0.0))
@@ -762,7 +804,7 @@ class ContextModels:
         valid = jnp.arange(w) < (end_v - start_v)
         evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,), (n_e,))
 
-        mask = cache["mask"][str(level)][pos] & valid
+        mask = cache["mask3d"][self.mask3d_offsets[level] + pos] & valid
         ovl = cache["ovl"][str(level)][pos]
         ovl_w = jnp.maximum(jnp.floor(ovl * 1000.0), 1.0)
 
@@ -772,7 +814,8 @@ class ContextModels:
         pts = (jnp.stack([xx, yy, zz], -1).astype(jnp.float32) - 0.5) / (r - 2.0)
         k = cfg.max_context_layer_num
         ctx = enc.grid_encode(pts, tbl3, self.spec3, level - k, level,
-                              occ_sat=cache["sat3d"])
+                              occ_mask=cache["mask3d"],
+                              mask_offsets=self.mask3d_offsets)
         ctx = jnp.concatenate(
             [ctx, jnp.broadcast_to(pg_n[None, None], (w, 1))], -1)
         mean = self.apply_ctx3d(ent_params["ctx3d"], ctx)
@@ -823,8 +866,8 @@ class ContextModels:
             l = p["level"]
             n = p["pos"].shape[0]
             seg = slice(off, off + n)
-            mask = mask.at[seg].set(cache["mask"][str(l)][pos[seg]]
-                                    & valid[seg])
+            m_l = cache["mask3d"][self.mask3d_offsets[l] + pos[seg]]
+            mask = mask.at[seg].set(m_l & valid[seg])
             ovl = ovl.at[seg].set(cache["ovl"][str(l)][pos[seg]])
             off += n
         # int(x*1000) clamp(min=1) like the reference pooling weights
@@ -834,12 +877,10 @@ class ContextModels:
         # vertices beyond the budget are dropped from the pooling entirely
         # (their zero means must not dilute the per-entry probabilities)
         cap = cfg.v_ctx_cap
-        flat = mask.astype(jnp.int32)
-        c = jnp.cumsum(flat)
+        c = jnp.cumsum(mask.astype(jnp.int32))
         total = c[-1]
         kept = mask & (c <= cap)
-        src = jnp.searchsorted(c, jnp.arange(1, cap + 1, dtype=jnp.int32))
-        src = jnp.minimum(src, pos.shape[0] - 1)
+        src, _ = scatter_ops.compact_mask_indices(mask, cap)
         cvalid = jnp.arange(cap) < jnp.minimum(total, cap)
 
         clev = levels[src]
@@ -853,7 +894,8 @@ class ContextModels:
         k = cfg.max_context_layer_num
         ctx = enc.grid_encode_diff_levels(pts, tbl3, self.spec3,
                                           clev - k, k,
-                                          occ_sat=cache["sat3d"])
+                                          occ_mask=cache["mask3d"],
+                                          mask_offsets=self.mask3d_offsets)
         pg_arr = jnp.stack([pg_by_level[l] for l in range(self.spec3.n_levels)])
         ctx = jnp.concatenate([ctx, pg_arr[clev][:, None]], -1)
         mean = self.apply_ctx3d(ent_params["ctx3d"], ctx)
@@ -886,6 +928,35 @@ class ContextModels:
         bits = jnp.sum(jnp.where(exist[:, None], bits, 0.0))
         # extrapolation (utils_bpp_acc.py:700)
         return bits / self.ttl_sample_valid_3d * self.ttl_entries_valid_3d
+
+
+def _dense_mask_grid(occ: jnp.ndarray, resolution: int, rb: int) -> jnp.ndarray:
+    """Dense per-corner occupancy mask for one level, any dimensionality.
+
+    mask[c] == "any occupied cell overlaps the corner footprint box" — the
+    encoder's binary_vxl corner test (gridencoder.cu:222-276) as D separable
+    1-D box-count pools over the occupancy grid (same bounds as
+    _dense_mask_overlap_grids below).
+    """
+    r = resolution
+    c = np.arange(r, dtype=np.float64)
+    scale_re = 1.0 / (r - 2.0)
+    pn = (c - 0.5) * scale_re
+    lo = np.clip((pn - scale_re) * rb, 0, rb - 1).astype(np.int32)
+    hi = np.clip((pn + scale_re) * rb, 0, rb - 1).astype(np.int32)
+
+    def pool_any(x, axis):
+        s = jnp.cumsum(x, axis=axis)
+        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
+                                                     axis=axis)), s],
+                            axis=axis)
+        return (jnp.take(s, jnp.asarray(hi + 1), axis=axis)
+                - jnp.take(s, jnp.asarray(lo), axis=axis))
+
+    m = occ.astype(jnp.int32)
+    for ax in range(occ.ndim):
+        m = pool_any(m, ax)
+    return m > 0
 
 
 def _dense_mask_overlap_grids(binaries: jnp.ndarray, resolution: int,

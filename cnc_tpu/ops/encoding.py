@@ -47,12 +47,21 @@ USE_SORTED_BACKWARD = True
 
 
 def _corner_setup(frac: jnp.ndarray, pg: jnp.ndarray, offset, hashmap_size,
-                  resolution, occ_sat: Optional[jnp.ndarray], rb: int):
+                  resolution, occ_sat: Optional[jnp.ndarray], rb: int,
+                  occ_mask=None, mask_offset=0):
     """Corner indices/weights for one level (no table access).
 
     Returns (gidx [N, 2^D] global table indices, w [N, 2^D] weights; masked
     corners carry weight 0 and index 0).  resolution/offset/hashmap_size may
     be python ints (static level) or per-point arrays (mixed levels).
+
+    Corner occupancy masking takes one of two forms:
+      * occ_mask: flat precomputed per-corner mask grid(s) (bool, row-major
+        x*r^(D-1)+..+last-axis-fastest per level) with `mask_offset` (int or
+        per-point array) selecting the level block — ONE gather per corner;
+      * occ_sat: summed-area table of the occupancy grid — 2^D gathers per
+        corner (kept for callers without prebuilt mask grids).
+    occ_mask wins when both are given.
     """
     n, d = pg.shape
     res_is_static = isinstance(resolution, (int, np.integer))
@@ -75,7 +84,12 @@ def _corner_setup(frac: jnp.ndarray, pg: jnp.ndarray, offset, hashmap_size,
         for ax in range(d):
             zero_flag = zero_flag | (cc[:, ax] == 0) | (cc[:, ax] == lim)
         valid = ~zero_flag
-        if occ_sat is not None:
+        if occ_mask is not None:
+            flat = cc[:, 0]
+            for ax in range(1, d):
+                flat = flat * resolution + cc[:, ax]
+            valid = valid & occ_mask[mask_offset + flat]
+        elif occ_sat is not None:
             m = sat_ops.occupancy_mask(occ_sat, cc, resolution, rb)
             valid = valid & m
         idx = hash_ops.grid_index(cc, resolution, hashmap_size)
@@ -136,20 +150,26 @@ def _level_setup(points: jnp.ndarray, resolution):
 def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
                     resolutions: Sequence[int], offsets: Sequence[int],
                     occ_binary: Optional[jnp.ndarray] = None,
-                    occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    occ_sat: Optional[jnp.ndarray] = None,
+                    occ_mask: Optional[jnp.ndarray] = None,
+                    mask_offsets: Optional[Sequence[int]] = None) -> jnp.ndarray:
     """Encode against explicit per-level (resolution, offset) lists.
 
     offsets has len(resolutions)+1 entries; level table size is the diff —
     matching the raw CUDA call convention (_grid_encode, ngp.py:49-116).
+    occ_mask/mask_offsets: flat per-corner mask grids + per-level start
+    offsets (the fast masking path — see _corner_setup).
     """
-    if occ_sat is None and occ_binary is not None:
+    if occ_mask is None and occ_sat is None and occ_binary is not None:
         occ_sat = sat_ops.build_sat(occ_binary)
     rb = (occ_sat.shape[0] - 1) if occ_sat is not None else 0
     gs, ws = [], []
     for li, r in enumerate(resolutions):
         frac, pg = _level_setup(points, r)
         hs = offsets[li + 1] - offsets[li]
-        gi, wi = _corner_setup(frac, pg, offsets[li], hs, int(r), occ_sat, rb)
+        moff = mask_offsets[li] if occ_mask is not None else 0
+        gi, wi = _corner_setup(frac, pg, offsets[li], hs, int(r), occ_sat, rb,
+                               occ_mask, moff)
         gs.append(gi)
         ws.append(wi)
     return _gather_levels(table, gs, ws, points)
@@ -158,7 +178,9 @@ def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
 def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
                 min_level: int = 0, max_level: Optional[int] = None,
                 occ_binary: Optional[jnp.ndarray] = None,
-                occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                occ_sat: Optional[jnp.ndarray] = None,
+                occ_mask: Optional[jnp.ndarray] = None,
+                mask_offsets: Optional[Sequence[int]] = None) -> jnp.ndarray:
     """Encode levels [min_level, max_level) of a GridSpec table.
 
     Args:
@@ -166,6 +188,8 @@ def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
       table: [spec.total_entries, F].
       occ_binary/occ_sat: optional occupancy grid (or its prebuilt SAT) for
         corner masking; pass the SAT when calling repeatedly per step.
+      occ_mask/mask_offsets: flat per-corner mask grids covering ALL spec
+        levels + per-level offsets (fastest: one gather per corner).
     Returns:
       [N, (max_level-min_level) * F] float32, level-major feature blocks.
     """
@@ -173,21 +197,27 @@ def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,
     max_level = spec.n_levels if max_level is None else min(max_level, spec.n_levels)
     res = spec.resolutions[min_level:max_level]
     offs = spec.offsets[min_level:max_level + 1]
-    return encode_explicit(points, table, res, offs, occ_binary, occ_sat)
+    moffs = (mask_offsets[min_level:max_level]
+             if mask_offsets is not None else None)
+    return encode_explicit(points, table, res, offs, occ_binary, occ_sat,
+                           occ_mask, moffs)
 
 
 def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
                             spec: GridSpec, min_level_ids: jnp.ndarray,
                             n_levels_calc: int,
                             occ_binary: Optional[jnp.ndarray] = None,
-                            occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                            occ_sat: Optional[jnp.ndarray] = None,
+                            occ_mask: Optional[jnp.ndarray] = None,
+                            mask_offsets: Optional[Sequence[int]] = None
+                            ) -> jnp.ndarray:
     """Per-point mixed-level encode (GridEncoder.forward_diff_levels).
 
     Point i contributes levels min_level_ids[i] .. min_level_ids[i]+J-1 in one
     call — the mixed-level batch trick the CUDA kernel supports through its
     `min_level_id` tensor (gridencoder.cu:120-126).
     """
-    if occ_sat is None and occ_binary is not None:
+    if occ_mask is None and occ_sat is None and occ_binary is not None:
         occ_sat = sat_ops.build_sat(occ_binary)
     rb = (occ_sat.shape[0] - 1) if occ_sat is not None else 0
     res_arr = jnp.asarray(spec.resolutions, dtype=jnp.int32)
@@ -195,6 +225,8 @@ def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
     hs_arr = jnp.asarray(
         [spec.offsets[i + 1] - spec.offsets[i] for i in range(spec.n_levels)],
         dtype=jnp.int32)
+    moff_arr = (jnp.asarray(mask_offsets, dtype=jnp.int32)
+                if occ_mask is not None else None)
     gs, ws = [], []
     for j in range(n_levels_calc):
         lvl = jnp.clip(min_level_ids + j, 0, spec.n_levels - 1)
@@ -202,7 +234,9 @@ def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
         off = off_arr[lvl]
         hs = hs_arr[lvl]
         frac, pg = _level_setup(points, r)
-        gi, wi = _corner_setup(frac, pg, off, hs, r, occ_sat, rb)
+        moff = moff_arr[lvl] if occ_mask is not None else 0
+        gi, wi = _corner_setup(frac, pg, off, hs, r, occ_sat, rb,
+                               occ_mask, moff)
         gs.append(gi)
         ws.append(wi)
     return _gather_levels(table, gs, ws, points)
@@ -211,7 +245,9 @@ def grid_encode_diff_levels(points: jnp.ndarray, table: jnp.ndarray,
 def grid_encode_given_table(points: jnp.ndarray, table: jnp.ndarray,
                             resolution: int,
                             occ_binary: Optional[jnp.ndarray] = None,
-                            occ_sat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                            occ_sat: Optional[jnp.ndarray] = None,
+                            occ_mask: Optional[jnp.ndarray] = None,
+                            mask_offset: int = 0) -> jnp.ndarray:
     """One-level dense-table encode (GridEncoder.forward_given_params).
 
     Used for the dimension-wise prior: `table` is a dense [resolution**2, F]
@@ -225,4 +261,5 @@ def grid_encode_given_table(points: jnp.ndarray, table: jnp.ndarray,
     """
     n_lvl_entries = table.shape[0]
     return encode_explicit(points, table, [resolution], [0, n_lvl_entries],
-                           occ_binary, occ_sat)
+                           occ_binary, occ_sat, occ_mask,
+                           [mask_offset] if occ_mask is not None else None)

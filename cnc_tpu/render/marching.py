@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
+from ..ops import scatter_ops
 
 
 class RaySamples(NamedTuple):
@@ -104,12 +105,10 @@ def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     bits = occupancy_lookup(pos, binaries, aabb)
     bits = bits & (t < tmax[:, None]) & hit[:, None]
 
-    flat = bits.reshape(-1).astype(jnp.int32)
-    c = jnp.cumsum(flat)
-    total = c[-1]
-    # slot j <- index of the (j+1)-th set bit; scatter-free compaction
-    src = jnp.searchsorted(c, jnp.arange(1, capacity + 1, dtype=jnp.int32))
-    src = jnp.minimum(src, r * s - 1)
+    # slot j <- index of the (j+1)-th set bit; one 1-D scatter (see
+    # scatter_ops.compact_mask_indices — faster than the searchsorted
+    # gather compaction it replaced)
+    src, total = scatter_ops.compact_mask_indices(bits.reshape(-1), capacity)
     valid = jnp.arange(capacity) < jnp.minimum(total, capacity)
     ray_id = (src // s).astype(jnp.int32)
     step_id = (src % s).astype(jnp.int32)

@@ -75,14 +75,28 @@ class TestCache:
     def test_mask_grid_matches_pointwise_sat(self, ctx, binaries, cache):
         sat = sat_ops.build_sat(binaries)
         rng = np.random.default_rng(1)
-        for l in ctx.ctx_levels_3d:
-            r = ctx.tables3d[l].resolution
+        for l in range(ctx.spec3.n_levels):
+            r = ctx.spec3.resolutions[l]
             pts = rng.integers(0, r, size=(200, 3))
             want = np.asarray(sat_ops.occupancy_mask(sat, jnp.asarray(pts), r,
                                                      16))
             flat = pts[:, 0] * r * r + pts[:, 1] * r + pts[:, 2]
-            got = np.asarray(cache["mask"][str(l)])[flat]
+            got = np.asarray(cache["mask3d"])[ctx.mask3d_offsets[l] + flat]
             np.testing.assert_array_equal(got, want)
+
+    def test_mask2d_matches_pointwise_sat(self, ctx, binaries, cache):
+        bin2d = np.asarray(cache["bin2d"])
+        rng = np.random.default_rng(7)
+        for ai in range(3):
+            sat = sat_ops.build_sat(jnp.asarray(bin2d[ai]))
+            for li, r in enumerate(ctx.mask2d_resolutions):
+                pts = rng.integers(0, r, size=(200, 2))
+                want = np.asarray(sat_ops.occupancy_mask(
+                    sat, jnp.asarray(pts), r, 16))
+                flat = pts[:, 0] * r + pts[:, 1]
+                got = np.asarray(cache["mask2d"][ai])[
+                    ctx.mask2d_offsets[li] + flat]
+                np.testing.assert_array_equal(got, want)
 
     def test_overlap_grid_matches_pointwise(self, ctx, binaries, cache):
         sat = sat_ops.build_sat(binaries)
