@@ -81,9 +81,12 @@ def grid_index(pos_grid: jnp.ndarray, resolution, hashmap_size) -> jnp.ndarray:
     if isinstance(resolution, (int, np.integer)) and isinstance(
             hashmap_size, (int, np.integer)):
         if resolution ** d <= hashmap_size:
-            idx = dense_index(pos_grid, resolution)
-        else:
-            idx = fast_hash(pos_grid)
+            # dense index < R**D <= hashmap_size: the reference's final
+            # `% hashmap_size` is an identity here (gridencoder.cu:85)
+            return dense_index(pos_grid, resolution).astype(jnp.int32)
+        idx = fast_hash(pos_grid)
+        if hashmap_size & (hashmap_size - 1) == 0:
+            return (idx & jnp.uint32(hashmap_size - 1)).astype(jnp.int32)
         return (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
     resolution = jnp.asarray(resolution)
     hashmap_size = jnp.asarray(hashmap_size)
@@ -91,8 +94,12 @@ def grid_index(pos_grid: jnp.ndarray, resolution, hashmap_size) -> jnp.ndarray:
     hashed = fast_hash(pos_grid)
     # resolutions are <= 1026 so R**3 fits int32 (max 514**3 < 2**31)
     use_dense = (resolution.astype(jnp.int32) ** d) <= hashmap_size.astype(jnp.int32)
-    idx = jnp.where(use_dense, dense, hashed)
-    return (idx % hashmap_size.astype(jnp.uint32)).astype(jnp.int32)
+    # hashed levels always size their tables at 2**log2_hashmap_size
+    # (GridSpec.level_sizes / ngp.py:201-208), so the modulus is a bit mask;
+    # dense indices are already < hashmap_size.  This avoids uint32 `%` by a
+    # non-constant divisor, which XLA expands to a long op sequence per point.
+    masked = hashed & (hashmap_size.astype(jnp.uint32) - 1)
+    return jnp.where(use_dense, dense, masked).astype(jnp.int32)
 
 
 def grid_index_np(pos_grid: np.ndarray, resolution: int,
