@@ -945,17 +945,19 @@ def _dense_mask_grid(occ: jnp.ndarray, resolution: int, rb: int) -> jnp.ndarray:
     lo = np.clip((pn - scale_re) * rb, 0, rb - 1).astype(np.int32)
     hi = np.clip((pn + scale_re) * rb, 0, rb - 1).astype(np.int32)
 
-    def pool_any(x, axis):
-        s = jnp.cumsum(x, axis=axis)
-        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
-                                                     axis=axis)), s],
-                            axis=axis)
-        return (jnp.take(s, jnp.asarray(hi + 1), axis=axis)
-                - jnp.take(s, jnp.asarray(lo), axis=axis))
+    # always pool along axis 0 and roll it to the back: a take along the
+    # minor axis lowers to per-ELEMENT gathers (~7 ns x r^D), while axis-0
+    # takes are contiguous slice gathers; the interleaved transposes are
+    # bandwidth-cheap relayouts.  After ndim rounds the axis order is back
+    # to the original.
+    def pool_any0(x):
+        s = jnp.cumsum(x, axis=0)
+        s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
+        return s[hi + 1] - s[lo]
 
     m = occ.astype(jnp.int32)
-    for ax in range(occ.ndim):
-        m = pool_any(m, ax)
+    for _ in range(occ.ndim):
+        m = jnp.moveaxis(pool_any0(m), 0, -1)
     return m > 0
 
 
@@ -979,39 +981,28 @@ def _dense_mask_overlap_grids(binaries: jnp.ndarray, resolution: int,
     a_f = np.clip(pn - scale_re, 0.0, 1.0) * rb       # continuous, cell units
     b_f = np.clip(pn + scale_re, 0.0, 1.0) * rb
 
-    def pool_any(x, axis):
-        # x: [..., rb, ...] int32 -> [..., r, ...]
-        s = jnp.cumsum(x, axis=axis)
-        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
-                                                     axis=axis)), s], axis=axis)
-        top = jnp.take(s, jnp.asarray(hi + 1), axis=axis)
-        bot = jnp.take(s, jnp.asarray(lo), axis=axis)
-        return top - bot
+    # axis-0 pools with axis rolling — see _dense_mask_grid for why
+    def pool_any0(x):
+        s = jnp.cumsum(x, axis=0)
+        s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
+        return s[hi + 1] - s[lo]
 
-    def pool_frac(x, axis):
+    def pool_frac0(x):
         # fractional integral over [a_f, b_f] of piecewise-constant x
-        s = jnp.cumsum(x, axis=axis)
-        s = jnp.concatenate([jnp.zeros_like(jnp.take(s, jnp.asarray([0]),
-                                                     axis=axis)), s], axis=axis)
+        s = jnp.cumsum(x, axis=0)
+        s = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
 
         def lerp(u):
             i0 = np.clip(np.floor(u).astype(np.int32), 0, rb - 1)
             frac = (u - i0).astype(np.float32)
-            lo_v = jnp.take(s, jnp.asarray(i0), axis=axis)
-            hi_v = jnp.take(s, jnp.asarray(i0 + 1), axis=axis)
-            shape = [1] * x.ndim
-            shape[axis] = r
-            fr = jnp.asarray(frac).reshape(shape)
-            return lo_v * (1.0 - fr) + hi_v * fr
+            fr = jnp.asarray(frac).reshape((r,) + (1,) * (x.ndim - 1))
+            return s[i0] * (1.0 - fr) + s[i0 + 1] * fr
 
         return lerp(b_f) - lerp(a_f)
 
-    b = binaries.astype(jnp.int32)
-    m = pool_any(b, 0)
-    m = pool_any(m, 1)
-    m = pool_any(m, 2) > 0
-
-    o = pool_frac(binaries.astype(jnp.float32), 0)
-    o = pool_frac(o, 1)
-    o = pool_frac(o, 2)
-    return m, o
+    m = binaries.astype(jnp.int32)
+    o = binaries.astype(jnp.float32)
+    for _ in range(3):
+        m = jnp.moveaxis(pool_any0(m), 0, -1)
+        o = jnp.moveaxis(pool_frac0(o), 0, -1)
+    return m > 0, o
