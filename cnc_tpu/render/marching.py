@@ -8,10 +8,11 @@ per-ray sample lists we:
   1. march every ray on a fixed t-lattice (stratified near-plane jitter like
      occ_grid.py:172-173), testing each midpoint against the binary occupancy
      grid — a pure gather, no control flow;
-  2. compact the (ray, step) hits into a fixed-capacity sample buffer with a
-     *scatter-free* cumsum+searchsorted gather (output slot j reads the j-th
-     set bit), keeping samples sorted by (ray, t) so downstream volume
-     rendering is a plain contiguous segment scan.
+  2. compact the (ray, step) hits into a fixed-capacity sample buffer with
+     one cumsum + unique-index scatter (scatter_ops.compact_mask_indices:
+     slot j holds the position of the j-th set bit), keeping samples sorted
+     by (ray, t) so downstream volume rendering is a plain contiguous
+     segment scan.
 
 Samples are midpoints of [t, t+dt] intervals, matching how the reference's
 renderers consume traversal output (utils.py:118 midpoint positions).
