@@ -79,6 +79,22 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
         check_vma=False,
     )
 
+    def rate_body(params, ent_params, binaries, key, ent_cache, ent_tbls):
+        """Per-device shard body: each device rates DIFFERENT sampled windows
+        (device-folded key) so an entropy model built with per-device quotas
+        (sample_num / n_dev, v_ctx_cap / n_dev, ...) spreads the reference's
+        total sampling budget across the mesh; pmean of the extrapolated bits
+        recovers an unbiased whole-table estimate."""
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        tables = rf.quantized_tables(params, cfg.model)
+        bpp, mb = entropy.rate_estimate(ent_params, tables, binaries, key,
+                                        ent_cache, ent_tbls)
+        return (jax.lax.pmean(bpp, axis), jax.lax.pmean(mb, axis))
+
+    sharded_rate = jax.shard_map(
+        rate_body, mesh=mesh,
+        in_specs=(P(),) * 6, out_specs=(P(), P()), check_vma=False)
+
     def loss_fn(params, ent_params, binaries, rays_o, rays_d, pixels, bkgd,
                 key, ent_cache, ent_tbls):
         mse, n_vis, n_marched = sharded_render_loss(
@@ -86,9 +102,8 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
         loss = mse
         aux = {"mse": mse, "n_samples": n_vis, "n_marched": n_marched}
         if use_entropy:
-            tables = rf.quantized_tables(params, cfg.model)
-            bpp, mb = entropy.rate_estimate(ent_params, tables, binaries, key,
-                                            ent_cache, ent_tbls)
+            bpp, mb = sharded_rate(params, ent_params, binaries, key,
+                                   ent_cache, ent_tbls)
             loss = loss + cfg.train.lmbda * bpp
             aux["bits_per_param"] = bpp
             aux["embed_MB"] = mb
