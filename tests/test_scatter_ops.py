@@ -1,4 +1,4 @@
-"""Sort-based scatter-add and fused gather/interp: parity with autodiff."""
+"""Table scatter-add and fused gather/interp: parity with autodiff."""
 
 import numpy as np
 import jax
@@ -66,3 +66,20 @@ def test_encode_backward_paths_agree():
     finally:
         enc_mod.USE_SORTED_BACKWARD = True
     np.testing.assert_allclose(g_sorted, g_plain, atol=2e-4, rtol=1e-3)
+
+
+def test_compact_mask_indices():
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random(5000) < 0.3)
+    want = np.flatnonzero(np.asarray(mask))
+    for cap in (16, len(want), 4096):
+        src, count = so.compact_mask_indices(mask, cap)
+        assert int(count) == len(want)
+        take = min(cap, len(want))
+        np.testing.assert_array_equal(np.asarray(src)[:take], want[:take])
+
+
+def test_compact_mask_indices_empty():
+    src, count = so.compact_mask_indices(jnp.zeros(128, bool), 8)
+    assert int(count) == 0
+    np.testing.assert_array_equal(np.asarray(src), np.zeros(8, np.int32))
