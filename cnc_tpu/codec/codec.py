@@ -115,26 +115,34 @@ class CNCCodec:
     def encode(self, ent_params, tables: Dict[str, jnp.ndarray],
                binaries: jnp.ndarray, out_dir: str, prefix: str = "b"):
         """Write bitstreams; returns (pgs_dict, analytic_MB, actual_MB)."""
+        import concurrent.futures as _fut
+
         ctx = self.ctx
         os.makedirs(out_dir, exist_ok=True)
         cache = ctx.refresh_cache(binaries)
         pgs: Dict[str, float] = {}
         est_bits = 0.0
         actual_bits = 0
+        # host-side range coding overlaps the next chunk's device compute
+        # (the ctypes coder call releases the GIL); the reference serializes
+        # GPU->CPU->torchac per level (utils_bpp_acc.py:77-93)
+        pool = _fut.ThreadPoolExecutor(max_workers=2)
+        pending = []
 
         def path(name):
             return os.path.join(out_dir, f"{prefix}_{name}.b")
 
-        def write(name, values, p):
-            nonlocal est_bits, actual_bits
-            p = np.clip(np.asarray(p, np.float32).reshape(-1), P_CLIP,
-                        1 - P_CLIP)
-            v = np.asarray(values, np.float32).reshape(-1)
+        def _code_one(name, v, p):
             stream = coder.encode_pm1(v, p)
             with open(path(name), "wb") as fh:
                 fh.write(stream)
-            est_bits += self._analytic_bits(v, p)
-            actual_bits += len(stream) * 8
+            return self._analytic_bits(v, p), len(stream) * 8
+
+        def write(name, values, p):
+            p = np.clip(np.asarray(p, np.float32).reshape(-1), P_CLIP,
+                        1 - P_CLIP)
+            v = np.asarray(values, np.float32).reshape(-1)
+            pending.append(pool.submit(_code_one, name, v, p))
 
         # --- 3D levels in order
         tbl3 = tables["xyz"]
@@ -174,6 +182,11 @@ class CNCCodec:
                     write(f"{ax}{l}", np.asarray(values)[cov],
                           np.asarray(pooled)[cov])
 
+        for fut in pending:
+            eb, ab = fut.result()
+            est_bits += eb
+            actual_bits += ab
+        pool.shutdown()
         return pgs, est_bits / 8 / 1024 / 1024, actual_bits / 8 / 1024 / 1024
 
     def _encode_ctx3d_level(self, ent_params, tbl3, cache, level, pg, write):
