@@ -228,6 +228,9 @@ class TrainConfig:
     min_ray_bucket: int = 1024
     max_ray_bucket: int = 1 << 17
     mlp_quant_digits: Tuple[int, ...] = (13,)   # driver :513
+    # checkpoint/resume (reference has none — SURVEY.md §5); None = off
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)

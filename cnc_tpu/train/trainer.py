@@ -16,6 +16,7 @@ TPU adaptations:
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -28,6 +29,7 @@ from ..config import CNCConfig
 from ..grids import occupancy as occ
 from ..models import radiance_field as rf
 from ..render import renderer, volrend
+from ..utils import checkpoint as ckpt
 from ..utils import metrics as M
 from . import optim
 
@@ -66,6 +68,10 @@ class Trainer:
         self.num_rays = cfg.train.init_batch_size
         self.step = 0
         self._jit_cache: Dict[Any, Any] = {}
+        # resume from an existing checkpoint when configured
+        cp = cfg.train.checkpoint_path
+        if cp and os.path.exists(cp):
+            ckpt.load_checkpoint(cp, self)
 
     # ------------------------------------------------------------------ occ
     def _occ_eval_fn(self, params):
@@ -261,6 +267,10 @@ class Trainer:
                 self.num_rays = int(
                     bucket * (cfg.train.target_sample_batch_size /
                               float(n_marched)))
+            cp = cfg.train.checkpoint_path
+            if (cp and cfg.train.checkpoint_every > 0 and s > 0
+                    and s % cfg.train.checkpoint_every == 0):
+                ckpt.save_checkpoint(cp, self)
             if log_every and s % log_every == 0:
                 msg = (f"elapsed_time={time.time() - tic:.2f}s | step={s} | "
                        f"mse={float(aux['mse']):.5f} | "

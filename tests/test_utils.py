@@ -105,3 +105,29 @@ def test_propnet_sampling_runs():
     w_rf = jnp.ones((r, 8)) / 8
     loss = prop_net.prop_loss(aux, jnp.concatenate([t0, t1[:, -1:]], -1), w_rf)
     assert np.isfinite(float(loss))
+
+
+def test_trainer_periodic_checkpoint_and_resume(tmp_path):
+    import os
+    """fit() writes checkpoints at the configured cadence and a new Trainer
+    resumes from them mid-run (reference has no checkpointing at all)."""
+    import dataclasses
+    from cnc_tpu.data import scenes
+    from cnc_tpu.train.trainer import Trainer
+    from test_train import tiny_config
+
+    cp = str(tmp_path / "ck.npz")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, checkpoint_path=cp,
+                                       checkpoint_every=5))
+    ds = scenes.ProceduralDataset("sphere", n_images=2, width=24, height=24,
+                                  n_steps_gt=32)
+    tr = Trainer(cfg, ds)
+    tr.fit(max_steps=6, log_every=0)
+    assert os.path.exists(cp)
+
+    tr2 = Trainer(cfg, ds)   # auto-resumes in __init__
+    assert tr2.step == 5
+    np.testing.assert_allclose(np.asarray(tr2.params["xyz"]),
+                               np.asarray(tr.params["xyz"]), atol=0.02)
