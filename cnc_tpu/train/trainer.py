@@ -42,12 +42,23 @@ def _next_bucket(n: int, lo: int, hi: int) -> int:
 
 
 class Trainer:
-    """Owns params, optimizer states, occupancy grid, and the jitted steps."""
+    """Owns params, optimizer states, occupancy grid, and the jitted steps.
 
-    def __init__(self, cfg: CNCConfig, dataset, entropy=None, seed=None):
+    With `mesh` (a 1-axis jax.sharding.Mesh named 'data'), the render
+    gradient shards the ray batch across devices (psum'd loss/grads over ICI)
+    and each device rates DIFFERENT entropy windows whose extrapolated bits
+    are pmean'd — build the entropy model with per-device sampling quotas
+    (sample_num / n_devices, v_ctx_cap / n_devices) to spread the reference's
+    total budget over the mesh.  The reference is single-GPU (SURVEY.md §2.7).
+    """
+
+    def __init__(self, cfg: CNCConfig, dataset, entropy=None, seed=None,
+                 mesh=None):
         self.cfg = cfg
         self.dataset = dataset
         self.entropy = entropy  # EntropyCoder (models/context_models), optional
+        self.mesh = mesh
+        self.n_dev = int(mesh.shape["data"]) if mesh is not None else 1
         self.aabb = jnp.asarray(cfg.render.aabb)
         seed = cfg.train.seed if seed is None else seed
         self.key = jax.random.PRNGKey(seed)
@@ -102,15 +113,42 @@ class Trainer:
             return fn
         cfg = self.cfg
 
-        def loss_fn(params, binaries, rays_o, rays_d, pixels, bkgd, key):
+        per_dev_cap = max(8, cfg.render.sample_capacity // self.n_dev)
+
+        def shard_body(params, binaries, rays_o, rays_d, pixels, bkgd, key):
+            if self.mesh is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
             out = renderer.render_rays_train(
                 params, cfg.model, cfg.render, self.aabb, binaries,
-                rays_o, rays_d, key, bkgd)
-            loss = M.mse(out.rgb, pixels)
-            aux = {"mse": loss, "n_samples": out.n_rendering_samples,
-                   "n_marched": out.n_marched_samples,
-                   "max_depth": jnp.max(out.depth)}
-            return loss, aux
+                rays_o, rays_d, key, bkgd,
+                capacity=per_dev_cap if self.mesh is not None else None)
+            sq = jnp.sum((out.rgb - pixels) ** 2)
+            n_px = jnp.float32(pixels.size)
+            stats = jax.lax.stop_gradient(
+                (out.n_rendering_samples, out.n_marched_samples,
+                 jnp.max(out.depth)))
+            if self.mesh is not None:
+                sq = jax.lax.psum(sq, "data")
+                n_px = jax.lax.psum(n_px, "data")
+                stats = (jax.lax.psum(stats[0], "data"),
+                         jax.lax.psum(stats[1], "data"),
+                         jax.lax.pmax(stats[2], "data"))
+            return sq / n_px, stats
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            shard_body = jax.shard_map(
+                shard_body, mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"), P(),
+                          P()),
+                out_specs=(P(), (P(), P(), P())), check_vma=False)
+
+        def loss_fn(params, binaries, rays_o, rays_d, pixels, bkgd, key):
+            mse, (n_vis, n_marched, max_depth) = shard_body(
+                params, binaries, rays_o, rays_d, pixels, bkgd, key)
+            aux = {"mse": mse, "n_samples": n_vis, "n_marched": n_marched,
+                   "max_depth": max_depth}
+            return mse, aux
 
         fn = jax.jit(jax.grad(loss_fn, has_aux=True))
         self._jit_cache[("render_grad", n_rays)] = fn
@@ -131,6 +169,8 @@ class Trainer:
                                              ent_cache, tbls)
             return scale * bits, bits
 
+        loss = self._maybe_shard_rate(loss)
+
         fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
         self._jit_cache["rate2d_grad"] = fn
         return fn
@@ -148,9 +188,26 @@ class Trainer:
                                              ent_cache, tbls)
             return scale * bits, bits
 
+        loss = self._maybe_shard_rate(loss)
+
         fn = jax.jit(jax.grad(loss, argnums=(0, 1), has_aux=True))
         self._jit_cache["rate3d_grad"] = fn
         return fn
+
+    def _maybe_shard_rate(self, loss):
+        """Wrap a rate loss so each device rates different windows and the
+        scaled bits are pmean'd (unbiased whole-table estimate)."""
+        if self.mesh is None:
+            return loss
+        from jax.sharding import PartitionSpec as P
+
+        def body(params, ent_params, key, ent_cache, tbls):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            val, bits = loss(params, ent_params, key, ent_cache, tbls)
+            return jax.lax.pmean(val, "data"), jax.lax.pmean(bits, "data")
+
+        return jax.shard_map(body, mesh=self.mesh, in_specs=(P(),) * 5,
+                             out_specs=(P(), P()), check_vma=False)
 
     def _apply_fn(self):
         fn = self._jit_cache.get("apply")
@@ -222,7 +279,13 @@ class Trainer:
 
             fn = jax.jit(fetch_fn)
             self._jit_cache[("fetch", n_rays)] = fn
-        return fn(key, self.dataset.ray_data)
+        rays, pixels = fn(key, self.dataset.ray_data)
+        if self.mesh is not None:
+            from ..parallel import sharding as shard_mod
+            o, v, pixels = shard_mod.shard_rays(
+                self.mesh, rays.origins, rays.viewdirs, pixels)
+            rays = type(rays)(origins=o, viewdirs=v)
+        return rays, pixels
 
     # ------------------------------------------------------------------ fit
     def fit(self, max_steps: Optional[int] = None, log_every: int = 200,
