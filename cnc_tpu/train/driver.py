@@ -51,18 +51,34 @@ class PipelineResult:
                 self.quant_results[digit_idx]["mlp_MB"])
 
 
-def build_entropy(cfg: CNCConfig) -> cm.ContextModels:
-    return cm.ContextModels(cfg.entropy, cfg.model.grid_3d, cfg.model.grid_2d)
+def build_entropy(cfg: CNCConfig, n_devices: int = 1) -> cm.ContextModels:
+    """Entropy model; with n_devices > 1, per-device sampling quotas so a
+    data-parallel Trainer spreads the total budget across the mesh (each
+    device rates different windows; bits are pmean'd)."""
+    ecfg = cfg.entropy
+    if n_devices > 1:
+        ecfg = dataclasses.replace(
+            ecfg,
+            sample_num=max(1, ecfg.sample_num // n_devices),
+            v_ctx_cap=max(256, ecfg.v_ctx_cap // n_devices),
+            sample_num_2d=(max(64, ecfg.sample_num_2d // n_devices)
+                           if ecfg.sample_num_2d else ecfg.sample_num_2d),
+            pn_frac_sample_cap=(max(1024,
+                                    ecfg.pn_frac_sample_cap // n_devices)
+                                if ecfg.pn_frac_sample_cap
+                                else ecfg.pn_frac_sample_cap))
+    return cm.ContextModels(ecfg, cfg.model.grid_3d, cfg.model.grid_2d)
 
 
 def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
                  out_root: str = ".", max_steps: Optional[int] = None,
                  max_eval_images: Optional[int] = None,
-                 log_fn=print) -> PipelineResult:
+                 mesh=None, log_fn=print) -> PipelineResult:
     t0 = time.time()
-    entropy = build_entropy(cfg) if cfg.train.lmbda > 0 else None
+    n_dev = int(mesh.shape["data"]) if mesh is not None else 1
+    entropy = (build_entropy(cfg, n_dev) if cfg.train.lmbda > 0 else None)
     log_fn(f"entropy tables built in {time.time() - t0:.1f}s")
-    trainer = Trainer(cfg, train_dataset, entropy=entropy)
+    trainer = Trainer(cfg, train_dataset, entropy=entropy, mesh=mesh)
     log_fn("training...")
     elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
 

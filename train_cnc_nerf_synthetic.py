@@ -43,6 +43,8 @@ def main():
     parser.add_argument("--max_steps", type=int, default=20000)
     parser.add_argument("--max_eval_images", type=int, default=None)
     parser.add_argument("--out_root", type=str, default=".")
+    parser.add_argument("--multichip", action="store_true",
+                        help="data-parallel training over all local devices")
     args = parser.parse_args()
 
     from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
@@ -82,9 +84,16 @@ def main():
                                     height=256, split="test")
         dataset_name = "Procedural"
 
+    mesh = None
+    if args.multichip:
+        import jax
+        from cnc_tpu.parallel.sharding import make_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
     result = driver.run_pipeline(cfg, train_ds, test_ds, args.scene,
                                  out_root=args.out_root,
-                                 max_eval_images=args.max_eval_images)
+                                 max_eval_images=args.max_eval_images,
+                                 mesh=mesh)
     driver.append_result_row(result, args.scene, dataset_name, args.out_root)
     print(f"psnr={result.psnr:.3f} psnr_codec={result.psnr_codec:.3f} "
           f"size={result.embed_MB_codec:.4f}MB "
