@@ -73,3 +73,20 @@ def test_run_pipeline_end_to_end(tmp_path):
     out = open(os.path.join(str(tmp_path), "results", "procedural",
                             "output.txt")).read().strip().split("\t")
     assert out[0] == "tiny" and len(out) > 12
+
+
+def test_run_pipeline_multichip(tmp_path):
+    """Same pipeline through the data-parallel trainer on the 8-device CPU
+    mesh — per-device entropy quotas, sharded rays, then codec as usual."""
+    from cnc_tpu.parallel.sharding import make_mesh
+
+    cfg = tiny_rd_config()
+    ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,
+                                  n_steps_gt=64)
+    res = driver.run_pipeline(cfg, ds, ds, scene="tiny8",
+                              out_root=str(tmp_path), max_steps=24,
+                              max_eval_images=1, mesh=make_mesh(8),
+                              log_fn=lambda *a: None)
+    assert np.isfinite(res.psnr)
+    assert abs(res.psnr - res.psnr_codec) < 0.5, (res.psnr, res.psnr_codec)
+    assert res.embed_MB_codec > 0
