@@ -597,19 +597,15 @@ class ContextModels:
             svals = _pos_indicator(
                 table3d_q[self.fine_offset + sel])          # [S, F]
             svals = jnp.where(valid[:, None], svals, 0.0)
-            csum = jnp.cumsum(svals, axis=0)
-            csum = jnp.concatenate([jnp.zeros((1, f)), csum], 0)
             bmap = jnp.searchsorted(src, bounds).astype(jnp.int32)
             bmap = jnp.minimum(bmap, take)
-            pos = csum[bmap[1:]] - csum[bmap[:-1]]
+            pos = _csum_diffs(svals, bmap)
             cnt = (bmap[1:] - bmap[:-1]).astype(jnp.float32)[:, None]
         else:
             valid = jnp.arange(cap) < jnp.minimum(n, cap)
             svals = _pos_indicator(table3d_q[self.fine_offset + eidx])
             svals = jnp.where(valid[:, None], svals, 0.0)
-            csum = jnp.cumsum(svals, axis=0)
-            csum = jnp.concatenate([jnp.zeros((1, f)), csum], 0)
-            pos = csum[bounds[1:]] - csum[bounds[:-1]]
+            pos = _csum_diffs(svals, bounds)
             cnt = (bounds[1:] - bounds[:-1]).astype(jnp.float32)[:, None]
         frac = pos / (cnt + 1e-6)
         plane = frac.reshape(scale, scale, f)
@@ -928,6 +924,19 @@ class ContextModels:
         bits = jnp.sum(jnp.where(exist[:, None], bits, 0.0))
         # extrapolation (utils_bpp_acc.py:700)
         return bits / self.ttl_sample_valid_3d * self.ttl_entries_valid_3d
+
+
+def _csum_diffs(svals: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    """Per-bin sums of svals [N, F] over boundary positions: column-wise 1-D
+    cumsums instead of one [N, F] cumsum (a 2-D op with a tiny minor dim pads
+    to 128 lanes — ~30x the memory traffic)."""
+    f = svals.shape[1]
+    cols = []
+    for fi in range(f):
+        cs = jnp.concatenate([jnp.zeros((1,), svals.dtype),
+                              jnp.cumsum(svals[:, fi])])
+        cols.append(cs[bounds[1:]] - cs[bounds[:-1]])
+    return jnp.stack(cols, axis=-1)
 
 
 def _dense_mask_grid(occ: jnp.ndarray, resolution: int, rb: int) -> jnp.ndarray:
