@@ -147,9 +147,11 @@ class EntropyConfig:
     use_dimension_wise: bool = True
     use_overlap_area_pool: bool = True
     Rb: int = 128                         # occupancy grid resolution
-    # encode/decode vertex budget per chunk (reference MAX_POINTS_NUM_TO_OOM=20M;
-    # we default lower to fit comfortably in 16GB TPU HBM)
-    max_points_per_chunk: int = 8_000_000
+    # encode/decode vertex budget per chunk (reference MAX_POINTS_NUM_TO_OOM=
+    # 20M).  The full-coverage pool holds several [w, 24] corner-index/weight
+    # buffers; 8M-vertex chunks compiled to a 21.6 GB program on a 16 GB v5e,
+    # so the default stays at 2M (measured fit with ~3x headroom).
+    max_points_per_chunk: int = 2_000_000
     # --- TPU static-shape / sampling knobs (adaptations; encode/decode are
     # always full-coverage so the bitstream is unaffected) ---
     # capacity of the dilated-coordinate list behind the dimension-wise prior
