@@ -59,11 +59,13 @@ def main():
     warmup = 24
     measure = 16
     t0 = time.time()
-    tr.fit(max_steps=warmup, log_every=0)
-    log(f"warmup {warmup} steps in {time.time()-t0:.1f}s")
+    tr.fit(max_steps=warmup - 1, log_every=0)   # absolute: steps 0..warmup-1
+    log(f"warmup {tr.step} steps in {time.time()-t0:.1f}s")
     t0 = time.time()
-    tr.fit(max_steps=measure, log_every=0)
+    step0 = tr.step
+    tr.fit(max_steps=warmup + measure - 1, log_every=0)
     dt = time.time() - t0
+    measure = tr.step - step0                   # exact steps timed
     sps = measure * cfg.train.target_sample_batch_size / dt
     log(f"{measure} steps in {dt:.2f}s -> {sps/1e3:.1f}k samples/s "
         f"({dt/measure*1e3:.0f} ms/step)")

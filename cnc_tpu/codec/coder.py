@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[1] / "native"
 _SO_PATH = _NATIVE_DIR / "librange_coder.so"
 _LIB: Optional[ctypes.CDLL] = None
 _TOP = 1 << 24

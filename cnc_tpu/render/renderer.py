@@ -116,10 +116,12 @@ def render_image(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     if pad:
         o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
         d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
-    fn = _jitted_cache.get((id(mcfg), chunk))
+    # key on the frozen dataclasses themselves — an id() can be recycled
+    # after GC and silently return a jit for a different config
+    fn = _jitted_cache.get((mcfg, rcfg, chunk))
     if fn is None:
         fn = jax.jit(functools.partial(render_rays_eval, mcfg=mcfg, rcfg=rcfg))
-        _jitted_cache[(id(mcfg), chunk)] = fn
+        _jitted_cache[(mcfg, rcfg, chunk)] = fn
     outs = []
     for i in range(0, o.shape[0], chunk):
         outs.append(fn(params, aabb=aabb, binaries=binaries,

@@ -34,11 +34,14 @@ from ..utils import metrics as M
 from . import optim
 
 
-def _next_bucket(n: int, lo: int, hi: int) -> int:
+def _next_bucket(n: int, lo: int, hi: int, multiple: int = 1) -> int:
     b = lo
     while b < n and b < hi:
         b *= 2
-    return min(b, hi)
+    b = min(b, hi)
+    # shard_map requires the ray batch divisible by the mesh size; round up
+    # so non-power-of-two device counts don't fault mid-training
+    return -(-b // multiple) * multiple
 
 
 class Trainer:
@@ -81,7 +84,7 @@ class Trainer:
         self._jit_cache: Dict[Any, Any] = {}
         # resume from an existing checkpoint when configured
         cp = cfg.train.checkpoint_path
-        if cp and os.path.exists(cp):
+        if cp and os.path.exists(ckpt.norm_path(cp)):
             ckpt.load_checkpoint(cp, self)
 
     # ------------------------------------------------------------------ occ
@@ -290,16 +293,23 @@ class Trainer:
     # ------------------------------------------------------------------ fit
     def fit(self, max_steps: Optional[int] = None, log_every: int = 200,
             log_fn=print):
+        """Train until the absolute step counter passes max_steps (inclusive,
+        matching the reference's `range(max_steps + 1)` loop, driver :302).
+        Resumed runs continue to the configured total and a completed run is
+        a no-op."""
         cfg = self.cfg
         max_steps = max_steps if max_steps is not None else cfg.train.max_steps
         tic = time.time()
         bkgd = jnp.ones((3,))
         ent_cache = (self.entropy.init_cache() if self.entropy is not None
                      else None)
-        for local in range(max_steps + 1):
+        local = 0
+        while self.step <= max_steps:
             s = self.step
             self.key, k_occ, k_rays, k_step = jax.random.split(self.key, 4)
-            if s % cfg.render.occ_update_interval == 0:
+            if s % cfg.render.occ_update_interval == 0 or local == 0:
+                # local == 0: resumed runs must rebuild the entropy cache
+                # (and refresh the grid) before the first step
                 warm = s < cfg.render.occ_warmup_steps
                 if s == 0 and log_every:
                     log_fn("compiling occupancy update...")
@@ -313,7 +323,7 @@ class Trainer:
                         self.occ_state.binaries, ent_cache)
 
             bucket = _next_bucket(self.num_rays, cfg.train.min_ray_bucket,
-                                  cfg.train.max_ray_bucket)
+                                  cfg.train.max_ray_bucket, self.n_dev)
             rays, pixels = self._fetch(bucket, k_rays)
             if local == 0 and log_every:
                 log_fn(f"cache done ({time.time()-tic:.1f}s); compiling "
@@ -345,6 +355,7 @@ class Trainer:
                             f" | embed_MB={float(aux['embed_MB']):.3f}")
                 log_fn(msg)
             self.step += 1
+            local += 1
         self._last_ent_cache = ent_cache
         return time.time() - tic
 

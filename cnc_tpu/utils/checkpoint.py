@@ -32,8 +32,15 @@ def _unflatten_into(tree, data: Dict[str, np.ndarray], prefix: str):
     return jax.tree_util.tree_unflatten(treedef, [l for l in leaves])
 
 
+def norm_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize once so
+    save and the resume existence check agree on the same file."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, trainer) -> None:
     """Serialize a train.trainer.Trainer's full state."""
+    path = norm_path(path)
     payload = {}
     payload.update(_flatten(trainer.params, "params"))
     payload.update(_flatten(trainer.ent_params, "ent"))
@@ -53,7 +60,7 @@ def save_checkpoint(path: str, trainer) -> None:
 
 def load_checkpoint(path: str, trainer) -> None:
     """Restore state in place (trainer must be built with the same config)."""
-    data = dict(np.load(path, allow_pickle=False))
+    data = dict(np.load(norm_path(path), allow_pickle=False))
     trainer.params = _unflatten_into(trainer.params, data, "params")
     trainer.ent_params = _unflatten_into(trainer.ent_params, data, "ent")
     trainer.opt_state_rf = _unflatten_into(trainer.opt_state_rf, data,

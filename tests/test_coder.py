@@ -36,7 +36,9 @@ def test_extreme_probs():
     p = np.full(n, 1e-6, np.float32)
     x = -np.ones(n, np.float32)
     stream = coder.encode_pm1(x, p)
-    assert len(stream) * 8 < n * 0.01 * n if False else True
+    # all symbols match the model (p(+1)=1e-6, all -1): the stream should be
+    # nearly empty — just coder flush overhead
+    assert len(stream) <= 16, len(stream)
     np.testing.assert_array_equal(coder.decode_pm1(stream, p), x)
     # a few surprising symbols
     x[::1000] = 1.0

@@ -172,7 +172,7 @@ class TestPnFrac:
         assert ((full > 0) == (half > 0)).mean() > 0.75
 
 
-class TestSegmentTails:
+class TestSegmentTailsNumpy:
     def test_against_numpy(self):
         rng = np.random.default_rng(5)
         seg = np.sort(rng.integers(0, 50, size=300)).astype(np.int32)
