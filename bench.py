@@ -45,7 +45,10 @@ def main():
         model=ModelConfig(n_features_per_level=4),
         entropy=EntropyConfig(n_features=4, sample_num=100000),
         render=RenderConfig(),
-        train=dataclasses.replace(TrainConfig(), lmbda=2e-3),
+        # start at the measured steady ray bucket so the dynamic batcher
+        # doesn't walk through (and compile) a ladder of smaller buckets
+        train=dataclasses.replace(TrainConfig(), lmbda=2e-3,
+                                  init_batch_size=16384),
     )
     t0 = time.time()
     ds = scenes.ProceduralDataset("blocks", n_images=8, width=128, height=128,

@@ -44,6 +44,25 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _scatter_set_padded(rec: jnp.ndarray, idx: np.ndarray,
+                        sym: np.ndarray) -> jnp.ndarray:
+    """rec.at[idx].set(sym) with idx/sym padded to a power-of-two length.
+
+    Decode writes host-sized (covered-count) index arrays whose lengths vary
+    per level/chunk; without padding every distinct length compiles a fresh
+    scatter program (~15-40 s each through the tunneled backend).  Padding
+    rows park at an out-of-range index and drop."""
+    n = int(idx.size)
+    cap = 1 << max(0, (n - 1)).bit_length()
+    cap = max(cap, 8)
+    f = sym.shape[1]
+    idx_p = np.full((cap,), rec.shape[0], np.int32)
+    idx_p[:n] = idx
+    sym_p = np.zeros((cap, f), np.float32)
+    sym_p[:n] = sym
+    return rec.at[jnp.asarray(idx_p)].set(jnp.asarray(sym_p), mode="drop")
+
+
 class CNCCodec:
     """Host-orchestrated encoder/decoder over a ContextModels instance."""
 
@@ -51,21 +70,25 @@ class CNCCodec:
         self.ctx = ctx
         self.cfg = ctx.cfg
         self._jit_cache = {}
-        # static chunking per 3D context level (reference :798-810)
+        # static chunking per 3D context level (reference :798-810); exact
+        # max chunk-vertex windows come from one shared device program
+        # (ContextModels.max_window_pts) instead of per-level host cum scans
         self.chunks3d: Dict[int, Tuple[int, int, int]] = {}
+        chunk_es = {}
         for l in ctx.ctx_levels_3d:
             t = ctx.tables3d[l]
             pts_per_entry = t.n_vertices / t.n_entries
-            chunk_e = int(min(t.n_entries,
-                              max(1, self.cfg.max_points_per_chunk /
-                                  pts_per_entry)))
+            chunk_es[l] = int(min(t.n_entries,
+                                  max(1, self.cfg.max_points_per_chunk /
+                                      pts_per_entry)))
+        sns = ([chunk_es[l] for l in ctx.ctx_levels_3d] +
+               [ctx.tables2d[l].n_entries for l in ctx.ctx_levels_2d])
+        wins = ctx.max_window_pts(sns)
+        for i, l in enumerate(ctx.ctx_levels_3d):
+            t = ctx.tables3d[l]
+            chunk_e = chunk_es[l]
             n_chunks = int(np.ceil(t.n_entries / chunk_e))
-            cum = np.asarray(t.cum)
-            # max padded vertex window over all (clamped) chunk starts
-            w = 0
-            for c in range(n_chunks):
-                s = min(c * chunk_e, t.n_entries - chunk_e)
-                w = max(w, int(cum[s + chunk_e] - cum[s]))
+            w = t.n_vertices if chunk_e >= t.n_entries else int(wins[i])
             self.chunks3d[l] = (chunk_e, n_chunks, w)
 
     # ------------------------------------------------------------- jit pool
@@ -126,7 +149,7 @@ class CNCCodec:
         # host-side range coding overlaps the next chunk's device compute
         # (the ctypes coder call releases the GIL); the reference serializes
         # GPU->CPU->torchac per level (utils_bpp_acc.py:77-93)
-        pool = _fut.ThreadPoolExecutor(max_workers=2)
+        pool = _fut.ThreadPoolExecutor(max_workers=8)
         pending = []
 
         def path(name):
@@ -189,18 +212,36 @@ class CNCCodec:
         pool.shutdown()
         return pgs, est_bits / 8 / 1024 / 1024, actual_bits / 8 / 1024 / 1024
 
-    def _encode_ctx3d_level(self, ent_params, tbl3, cache, level, pg, write):
-        ctx = self.ctx
-        t = ctx.tables3d[level]
+    def _chunk_bounds(self, level):
+        """(want_lo, want_hi, clamped_start) per chunk of one 3D level."""
+        t = self.ctx.tables3d[level]
         chunk_e, n_chunks, _ = self.chunks3d[level]
-        fn = self._pool3d_fn(level)
+        out = []
         for c in range(n_chunks):
             want_lo = c * chunk_e
             want_hi = min((c + 1) * chunk_e, t.n_entries)
-            start = min(want_lo, t.n_entries - chunk_e)
-            pooled, covered, values = fn(ent_params, tbl3, cache, pg_n=pg,
-                                         start_e=jnp.int32(start),
-                                         tbls=self.ctx.table_arrays)
+            out.append((want_lo, want_hi, min(want_lo,
+                                              t.n_entries - chunk_e)))
+        return out
+
+    def _encode_ctx3d_level(self, ent_params, tbl3, cache, level, pg, write):
+        """Full-coverage encode of one context level, chunked.
+
+        Device programs for ALL chunks are dispatched before any host pull
+        (async dispatch keeps the accelerator busy while earlier chunks
+        convert + range-code on host threads) — the round-1 version
+        serialized dispatch -> pull -> code per chunk."""
+        ctx = self.ctx
+        _, n_chunks, _ = self.chunks3d[level]
+        fn = self._pool3d_fn(level)
+        outs = []
+        for c, (want_lo, want_hi, start) in enumerate(
+                self._chunk_bounds(level)):
+            outs.append(fn(ent_params, tbl3, cache, pg_n=pg,
+                           start_e=jnp.int32(start),
+                           tbls=self.ctx.table_arrays))
+        for c, ((want_lo, want_hi, start), (pooled, covered, values)) in \
+                enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
             vals = np.asarray(values)[sl][cov]
@@ -261,33 +302,46 @@ class CNCCodec:
                                  P_CLIP, 1 - P_CLIP)
                     sym = coder.decode_pm1(read(f"{ax}{l}"), ps)
                     sym = sym.reshape(-1, f)
-                    idx = t.offset + np.asarray(t.entry_values)[cov]
-                    rec2 = rec2.at[jnp.asarray(idx)].set(jnp.asarray(sym))
+                    idx = t.offset + ctx.entry_values_np("2d", l)[cov]
+                    rec2 = _scatter_set_padded(rec2, idx,
+                                               sym.astype(np.float32))
             recs[ax] = rec2
         return recs
 
     def _decode_ctx3d_level(self, ent_params, rec3, cache, level, pg, read):
+        """Decode one context level.
+
+        The level->level dependency is strict (context reads already-decoded
+        coarser levels), but WITHIN a level every chunk's context depends
+        only on rec3 as it stands — so all chunk pool programs dispatch
+        up-front and host range-decoding overlaps device compute; decoded
+        symbols gather into one scatter at the level end."""
         ctx = self.ctx
         t = ctx.tables3d[level]
         f = self.cfg.n_features
-        chunk_e, n_chunks, _ = self.chunks3d[level]
+        _, n_chunks, _ = self.chunks3d[level]
         fn = self._pool3d_fn(level)
-        evals = np.asarray(t.entry_values)
-        for c in range(n_chunks):
-            want_lo = c * chunk_e
-            want_hi = min((c + 1) * chunk_e, t.n_entries)
-            start = min(want_lo, t.n_entries - chunk_e)
-            pooled, covered, _ = fn(ent_params, rec3, cache, pg_n=pg,
-                                    start_e=jnp.int32(start),
-                                    tbls=self.ctx.table_arrays)
+        evals = ctx.entry_values_np("3d", level)
+        outs = []
+        for (want_lo, want_hi, start) in self._chunk_bounds(level):
+            outs.append(fn(ent_params, rec3, cache, pg_n=pg,
+                           start_e=jnp.int32(start),
+                           tbls=self.ctx.table_arrays))
+        idx_all, sym_all = [], []
+        for c, ((want_lo, want_hi, start), (pooled, covered, _)) in \
+                enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
             ps = np.clip(np.asarray(pooled)[sl][cov].reshape(-1),
                          P_CLIP, 1 - P_CLIP)
             suffix = f"3D{level}_{c}" if n_chunks > 1 else f"3D{level}"
             sym = coder.decode_pm1(read(suffix), ps).reshape(-1, f)
-            idx = t.offset + evals[want_lo:want_hi][cov]
-            rec3 = rec3.at[jnp.asarray(idx)].set(jnp.asarray(sym))
+            idx_all.append(t.offset + evals[want_lo:want_hi][cov])
+            sym_all.append(sym)
+        if idx_all:
+            rec3 = _scatter_set_padded(rec3, np.concatenate(idx_all),
+                                       np.concatenate(sym_all,
+                                                      dtype=np.float32))
         return rec3
 
 
@@ -315,34 +369,50 @@ def quantize_mlp_params(params_tree, digits: int = 13):
 def save_bundle(out_dir: str, pgs: Dict[str, float], ent_params,
                 mlp_params, binaries, extra_meta: Optional[dict] = None):
     """Make the bitstream directory self-contained (the reference never
-    serializes Pg scalars or model weights — SURVEY.md §5)."""
-    flat_ent, ent_tree = jax.tree.flatten_with_path(ent_params)
-    flat_mlp, mlp_tree = jax.tree.flatten_with_path(mlp_params)
+    serializes Pg scalars or model weights — SURVEY.md §5).
+
+    Pytree leaves are stored under keystr-addressed keys so load_bundle can
+    rebuild the exact ent/MLP pytrees against config-derived templates."""
+    from ..utils import checkpoint as ckpt
+
     payload = {
         "pgs_keys": np.asarray(list(pgs.keys())),
         "pgs_vals": np.asarray([pgs[k] for k in pgs], np.float32),
         "binaries": np.packbits(np.asarray(binaries).reshape(-1)),
         "binaries_shape": np.asarray(np.asarray(binaries).shape),
     }
-    for i, (path, leaf) in enumerate(flat_ent):
-        payload[f"ent_{i}_{jax.tree_util.keystr(path)}"] = np.asarray(leaf)
-    for i, (path, leaf) in enumerate(flat_mlp):
-        payload[f"mlp_{i}_{jax.tree_util.keystr(path)}"] = np.asarray(leaf)
+    payload.update(ckpt._flatten(ent_params, "ent"))
+    payload.update(ckpt._flatten(mlp_params, "mlp"))
     np.savez_compressed(os.path.join(out_dir, "meta.npz"), **payload)
     if extra_meta:
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(extra_meta, fh, indent=1)
 
 
-def load_bundle(out_dir: str):
-    data = np.load(os.path.join(out_dir, "meta.npz"))
+def load_bundle(out_dir: str, ent_template=None, mlp_template=None):
+    """Read the bundle back.
+
+    With templates (pytrees of matching structure, e.g. freshly initialized
+    params), returns (pgs, ent_params, mlp_params, binaries) with the
+    ent/MLP PYTREES reconstructed; without, the raw flat keystr dicts."""
+    from ..utils import checkpoint as ckpt
+
+    data = dict(np.load(os.path.join(out_dir, "meta.npz")))
     pgs = {str(k): float(v) for k, v in zip(data["pgs_keys"],
                                             data["pgs_vals"])}
     shape = tuple(int(x) for x in data["binaries_shape"])
     n = int(np.prod(shape))
     binaries = np.unpackbits(data["binaries"])[:n].reshape(shape).astype(bool)
-    ent = {k[len("ent_"):]: data[k] for k in data.files if k.startswith("ent_")}
-    mlp = {k[len("mlp_"):]: data[k] for k in data.files if k.startswith("mlp_")}
+    if ent_template is not None:
+        ent = ckpt._unflatten_into(ent_template, data, "ent")
+    else:
+        ent = {k[len("ent|"):]: v for k, v in data.items()
+               if k.startswith("ent|")}
+    if mlp_template is not None:
+        mlp = ckpt._unflatten_into(mlp_template, data, "mlp")
+    else:
+        mlp = {k[len("mlp|"):]: v for k, v in data.items()
+               if k.startswith("mlp|")}
     return pgs, ent, mlp, binaries
 
 

@@ -109,6 +109,9 @@ class ModelConfig:
     use_viewdirs: bool = True
     sh_degree: int = 4                    # tcnn SphericalHarmonics degree 4 -> 16 dims
     pe_num_freqs: int = 10                # get_embedder(10) -> 63 dims
+    # unbounded-scene mode: query through the mip-360 unisphere contraction
+    # (reference ngp.py:374,515-516; consumed by the nerf_360_v2 loader)
+    unbounded: bool = False
     # STE mode for the hash tables
     ste_binary: bool = True
     ste_multistep: bool = False
@@ -241,6 +244,29 @@ class CNCConfig:
     entropy: EntropyConfig = EntropyConfig()
     render: RenderConfig = RenderConfig()
     train: TrainConfig = TrainConfig()
+
+    def to_dict(self) -> dict:
+        """JSON-serializable dump (bundle metadata / reproducibility)."""
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "CNCConfig":
+        def build(cls, sub):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in sub:
+                    continue
+                v = sub[f.name]
+                if isinstance(v, list):
+                    v = tuple(v)
+                kw[f.name] = v
+            return cls(**kw)
+
+        return CNCConfig(
+            model=build(ModelConfig, d.get("model", {})),
+            entropy=build(EntropyConfig, d.get("entropy", {})),
+            render=build(RenderConfig, d.get("render", {})),
+            train=build(TrainConfig, d.get("train", {})))
 
     @staticmethod
     def with_n_features(n_features: int, **kw) -> "CNCConfig":

@@ -33,9 +33,7 @@ Bernoulli probability (get_BiRF_wentropy_leveln, :472-486).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +43,6 @@ from ..config import EntropyConfig, GridSpec
 from ..ops import encoding as enc
 from ..ops import entropy as ent_ops
 from ..ops import hash_ops
-from ..ops import sat as sat_ops
 from ..ops import scatter_ops
 
 
@@ -83,23 +80,32 @@ def _linear_init(key, fan_in, fan_out):
 
 
 class Level3DTable(NamedTuple):
-    """Static per-level vertex->entry structure (utils_bpp_acc.py:296-348)."""
+    """Static per-level vertex->entry metadata (utils_bpp_acc.py:296-348).
+
+    The array data itself lives in the CONCATENATED device buffers of
+    ContextModels.table_arrays['3d'] (pos_flat / vert_entry sorted by entry;
+    entry_values / cum padded to e_max per level); the static offsets here
+    locate this level's slice.  Concatenation keeps the whole build inside
+    two jit programs regardless of level count — per-level programs cost
+    ~15-40 s each of compile + executable load through the tunneled backend
+    (the round-1 build took 1033 s for ~26 of them).
+    """
     level: int
     resolution: int
-    offset: int
-    n_entries: int
+    offset: int                # into the flat hash table (spec offsets)
+    n_entries: int             # exact distinct entries (data-dependent)
     n_vertices: int
     sample_n: int
     max_win_pts: int
-    pos_flat: jnp.ndarray      # [V] int32 flat coord (x*R^2 + y*R + z), sorted by entry
-    vert_entry: jnp.ndarray    # [V] int32 entry ordinal of each vertex
-    entry_values: jnp.ndarray  # [E] int32 level-local entry index
-    counts: jnp.ndarray        # [E] int32
-    cum: jnp.ndarray           # [E+1] int32
+    v_off: int                 # start into concat pos_flat / vert_entry
+    e_off: int                 # start into concat entry_values
+    c_off: int                 # start into concat cum (this level: e_max+1)
+    e_max: int                 # padded entry capacity = min(table, V)
 
 
 class Level2DTable(NamedTuple):
-    """Static block-lattice structure shared by the three planes."""
+    """Static block-lattice metadata shared by the three planes (same
+    concatenated-buffer layout as Level3DTable, in table_arrays['2d'])."""
     level: int
     resolution: int
     offset: int
@@ -108,12 +114,10 @@ class Level2DTable(NamedTuple):
     n_entries: int
     sample_n: int
     max_win_pts: int
-    coords: jnp.ndarray        # [P] int32 packed (x<<16 | y), sorted by entry
-    block_id: jnp.ndarray      # [P] int32 flat occupied-projection cell id
-    vert_entry: jnp.ndarray    # [P] int32 entry ordinal
-    entry_values: jnp.ndarray  # [E] int32 level-local entry index
-    counts: jnp.ndarray
-    cum: jnp.ndarray
+    v_off: int
+    e_off: int
+    c_off: int
+    e_max: int
 
 
 def _segment_tail_values(x: jnp.ndarray, seg: jnp.ndarray, valid: jnp.ndarray,
@@ -175,8 +179,7 @@ class ContextModels:
         self.ctx_levels_2d = [l for l in range(pg2)
                               if l not in ecfg.skip_levels_2d]
 
-        self._build_3d_tables()
-        self._build_2d_tables()
+        self._build_tables()
 
         # totals for the extrapolation (utils_bpp_acc.py:350-366)
         self.ttl_entries_valid_3d = sum(
@@ -193,202 +196,326 @@ class ContextModels:
         self.pn_res = self.fine_res                    # frac plane resolution
 
     # ---------------------------------------------------------- device init
-    # The vertex->entry tables are built ON DEVICE: a 514^3 hash+argsort takes
-    # well under a second on TPU, while building on the host costs minutes of
-    # single-core numpy plus a ~2GB host->device transfer (measured at only a
-    # few MB/s through the tunneled backend).  Only per-level scalars (entry
-    # count, max window size) cross to the host.
-    def _build_3d_level_arrays(self, l: int):
-        """(pos_flat, vert_entry, entry_values, counts, cum, n_entries) for
-        one 3D level, all device arrays.  The dense-level shuffle uses a
-        fixed per-level PRNG key so both codec sides rebuild the same order."""
-        r = self.spec3.resolutions[l]
-        tbl = self.spec3.level_sizes[l]
-        v = r * r * r
-        dense = r ** 3 <= tbl
+    # The vertex->entry tables are built ON DEVICE in a SINGLE fused jit
+    # program covering every level (a 514^3 hash+sort takes ~1 s on TPU,
+    # while building on the host costs minutes of single-core numpy plus a
+    # ~2GB transfer at a few MB/s through the tunneled backend).  Hashed
+    # levels share ONE sort via level-tagged keys; per-level entry arrays are
+    # padded to static capacities so only one small scalar array (the exact
+    # entry counts) crosses to the host.  The round-1 per-level two-stage
+    # design compiled ~26 programs at ~15-40 s of compile + executable-load
+    # each through the tunneled backend (1033 s total); this takes two.
+    _KEY_BASE = 1 << 20        # > any level table size (2**19 rounded to 8)
 
-        @jax.jit
-        def stage1():
-            ids = jnp.arange(v, dtype=jnp.int32)
-            coords = jnp.stack([ids // (r * r), (ids // r) % r, ids % r], -1)
-            idx = hash_ops.grid_index(coords, r, tbl)
-            order = jnp.argsort(idx)
-            idx_sorted = idx[order]
-            flat = ids[order]
-            head = jnp.concatenate([jnp.ones((1,), bool),
-                                    idx_sorted[1:] != idx_sorted[:-1]])
-            return idx_sorted, flat, head, jnp.sum(head.astype(jnp.int32))
-
-        idx_sorted, flat, head, n_entries = stage1()
-        e = int(n_entries)  # one scalar to host; shapes below are static
-
-        @jax.jit
-        def stage2(idx_sorted, flat, head):
-            hc = jnp.cumsum(head.astype(jnp.int32))
-            vert_entry = hc - 1                       # entry ordinal per vertex
-            # compact head positions -> per-entry start (scatter-free)
-            starts = jnp.searchsorted(hc, jnp.arange(1, e + 1,
-                                                     dtype=jnp.int32))
-            values = idx_sorted[starts]
-            ends = jnp.concatenate([starts[1:], jnp.asarray([v], jnp.int32)])
-            counts = ends - starts
-            return vert_entry, values, counts
-
-        vert_entry, values, counts = stage2(idx_sorted, flat, head)
-        if dense:
-            # dense level: shuffle entries for unbiased window sampling;
-            # counts are all 1 so flat reorders with values
-            perm = jax.random.permutation(jax.random.PRNGKey(1234 + l), e)
-            values = values[perm]
-            counts = counts[perm]
-            flat = flat[perm]
-            vert_entry = jnp.arange(e, dtype=jnp.int32)
-        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts).astype(jnp.int32)])
-        return flat, vert_entry, values, counts, cum, e
-
-    def _build_3d_tables(self):
-        ecfg, spec3 = self.cfg, self.spec3
-        # dense threshold: last level whose R^D fits the table
-        # (utils_bpp_acc.py:288-293) — such levels get shuffled entry order
-        sizes = spec3.level_sizes
-        self.tables3d: Dict[int, Level3DTable] = {}
-        entry_counts = []
-        for l in range(self.pg_level):
-            r = spec3.resolutions[l]
-            tbl = sizes[l]
-            if l in self.cfg.skip_levels_3d:
-                entry_counts.append(min(tbl, r ** 3))  # allocation only
-                continue
-            flat, vert_entry, values, counts, cum, e = \
-                self._build_3d_level_arrays(l)
-            entry_counts.append(e)
-            self.tables3d[l] = Level3DTable(
-                level=l, resolution=r, offset=spec3.offsets[l],
-                n_entries=e, n_vertices=r ** 3,
-                sample_n=0, max_win_pts=0,
-                pos_flat=flat, vert_entry=vert_entry, entry_values=values,
-                counts=counts, cum=cum)
-
-        # proportional entry sampling (utils_bpp_acc.py:350-352)
-        counts_arr = np.asarray(entry_counts, np.float64)
-        sample = np.round(counts_arr * (self.cfg.sample_num / counts_arr.sum()))
-        if sample[-1] > counts_arr[-1]:
-            sample = counts_arr
-        sample = sample.astype(np.int64)
-        for l in list(self.tables3d):
-            t = self.tables3d[l]
-            sn = int(min(sample[l], t.n_entries))
-            sn = max(sn, 1)
-            if sn < t.n_entries:
-                win_max = int(jnp.max(t.cum[sn:] - t.cum[:-sn]))
-            else:
-                win_max = t.n_vertices
-            self.tables3d[l] = t._replace(sample_n=sn, max_win_pts=win_max)
-
-    def _build_2d_tables(self):
-        ecfg, spec2 = self.cfg, self.spec2
-        self.tables2d: Dict[int, Level2DTable] = {}
-        sizes = spec2.level_sizes
+    def _level_plans(self):
+        """Static per-level build plans (ctx 3D levels then ctx 2D levels)."""
+        plans = []
+        for l in self.ctx_levels_3d:
+            r = self.spec3.resolutions[l]
+            tbl = self.spec3.level_sizes[l]
+            v = r ** 3
+            plans.append(dict(kind="3d", level=l, r=r, tbl=tbl, v=v,
+                              dense=v <= tbl, e_max=min(tbl, v)))
         rb = self.rb
         for l in self.ctx_levels_2d:
-            r = spec2.resolutions[l]
+            r = self.spec2.resolutions[l]
             tile = (r - 2) // rb
             assert (r - 2) % rb == 0, "2D resolutions must be multiples of Rb"
             p = rb * rb * (tile + 2) ** 2
+            # the 2D block lattice revisits boundary coords (blocks overlap
+            # by 2), so even "dense" levels are non-injective -> sort path
+            plans.append(dict(kind="2d", level=l, r=r,
+                              tbl=self.spec2.level_sizes[l], v=p,
+                              dense=False, tile=tile,
+                              e_max=min(self.spec2.level_sizes[l], p)))
+        return plans
 
-            @jax.jit
-            def stage1():
-                # block lattice coords: b*T + [0, T+1] (fetch_2D_batches
-                # :443-448); point j of block (bi,bj) at offsets (oi,oj)
-                ids = jnp.arange(p, dtype=jnp.int32)
-                per_block = (tile + 2) ** 2
-                blk = ids // per_block
-                off = ids % per_block
-                bi, bj = blk // rb, blk % rb
-                oi, oj = off // (tile + 2), off % (tile + 2)
-                x = bi * tile + oi
-                y = bj * tile + oj
-                idx = hash_ops.grid_index(jnp.stack([x, y], -1), r, sizes[l])
-                order = jnp.argsort(idx)
-                idx_sorted = idx[order]
-                packed = ((x << 16) | y)[order]
-                block_s = blk[order]
-                head = jnp.concatenate([jnp.ones((1,), bool),
-                                        idx_sorted[1:] != idx_sorted[:-1]])
-                return (idx_sorted, packed, block_s, head,
-                        jnp.sum(head.astype(jnp.int32)))
+    @staticmethod
+    def _coords_2d(ids, tile, rb):
+        """Block-lattice coords: point j of block (bi,bj) at offsets (oi,oj)
+        (fetch_2D_batches, utils_bpp_acc.py:443-448)."""
+        per_block = (tile + 2) ** 2
+        blk = ids // per_block
+        off = ids % per_block
+        bi, bj = blk // rb, blk % rb
+        oi, oj = off // (tile + 2), off % (tile + 2)
+        return bi * tile + oi, bj * tile + oj, blk
 
-            idx_sorted, packed, block_s, head, n_entries = stage1()
-            e = int(n_entries)
+    def _fused_build_impl(self):
+        """One traced program building every level's sorted vertex tables.
 
-            @jax.jit
-            def stage2(idx_sorted, head):
-                hc = jnp.cumsum(head.astype(jnp.int32))
-                vert_entry = hc - 1
-                starts = jnp.searchsorted(hc, jnp.arange(1, e + 1,
-                                                         dtype=jnp.int32))
-                values = idx_sorted[starts]
-                ends = jnp.concatenate([starts[1:],
-                                        jnp.asarray([p], jnp.int32)])
-                return vert_entry, values, ends - starts
+        Returns a dict of concatenated arrays (per kind) plus the exact
+        entry count per plan.  The dense-3D-level shuffle uses a fixed
+        per-level PRNG key so both codec sides rebuild the same order."""
+        plans = self._level_plans()
+        rb = self.rb
+        kb = self._KEY_BASE
 
-            vert_entry, values, counts = stage2(idx_sorted, head)
-            cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(counts).astype(jnp.int32)])
-            self.tables2d[l] = Level2DTable(
-                level=l, resolution=r, offset=spec2.offsets[l], tile=tile,
-                n_points=p, n_entries=e,
-                sample_n=0, max_win_pts=0,
-                coords=packed, block_id=block_s, vert_entry=vert_entry,
-                entry_values=values, counts=counts, cum=cum)
+        # ---- sort members: hashed 3D + all 2D, one level-tagged key space
+        keys, locs = [], []
+        sort_plans = [p for p in plans if not p["dense"]]
+        for o, p in enumerate(sort_plans):
+            ids = jnp.arange(p["v"], dtype=jnp.int32)
+            if p["kind"] == "3d":
+                r = p["r"]
+                coords = jnp.stack([ids // (r * r), (ids // r) % r,
+                                    ids % r], -1)
+            else:
+                x, y, _ = self._coords_2d(ids, p["tile"], rb)
+                coords = jnp.stack([x, y], -1)
+            idx = hash_ops.grid_index(coords, p["r"], p["tbl"])
+            keys.append(jnp.int32(o * kb) + idx)
+            locs.append(ids)
+        out3 = {"pos_flat": [], "vert_entry": [], "entry_values": [],
+                "cum": []}
+        out2 = {"coords": [], "block_id": [], "vert_entry": [],
+                "entry_values": [], "cum": []}
+        sorted_parts = {}
+        if sort_plans:
+            skey, sloc = jax.lax.sort(
+                (jnp.concatenate(keys), jnp.concatenate(locs)), num_keys=1)
+            head = jnp.concatenate([jnp.ones((1,), bool),
+                                    skey[1:] != skey[:-1]])
+            hc = jnp.cumsum(head.astype(jnp.int32))
+            off = 0
+            for o, p in enumerate(sort_plans):
+                v, e_max = p["v"], p["e_max"]
+                sl = slice(off, off + v)
+                idx_l = skey[sl] - jnp.int32(o * kb)
+                # level boundaries always change the key => head[off] is True
+                ords = hc[sl] - hc[off]          # level-local entry ordinal
+                head_l = head[sl]
+                starts = jnp.arange(v, dtype=jnp.int32)
+                tgt = jnp.where(head_l, ords, e_max + 1)
+                # cum[e] = first vertex of entry e; parked at V beyond the
+                # exact entry count so tail counts/windows come out right
+                cum = jnp.full((e_max + 1,), v, jnp.int32).at[tgt].set(
+                    starts, mode="drop", unique_indices=True)
+                values = jnp.zeros((e_max,), jnp.int32).at[
+                    jnp.where(head_l, ords, e_max)].set(
+                        idx_l, mode="drop", unique_indices=True)
+                n_e = hc[off + v - 1] - hc[off] + 1
+                sorted_parts[(p["kind"], p["level"])] = dict(
+                    loc=sloc[sl], vert_entry=ords, values=values, cum=cum,
+                    n_e=n_e)
+                off += v
 
-        # optional window sampling for training (TPU adaptation; None = full)
-        sn2 = getattr(ecfg, "sample_num_2d", None)
-        if sn2:
-            tot = sum(self.tables2d[l].n_entries for l in self.ctx_levels_2d)
-            for l in self.ctx_levels_2d:
-                t = self.tables2d[l]
-                sn = max(1, min(int(round(t.n_entries * sn2 / tot)),
-                                t.n_entries))
-                if sn < t.n_entries:
-                    win_max = int(jnp.max(t.cum[sn:] - t.cum[:-sn]))
+        n_entries = []
+        for p in plans:
+            if p["dense"]:
+                # dense 3D level: grid_index is a bijection onto [0, V);
+                # shuffled entry order for unbiased window sampling
+                v, r = p["v"], p["r"]
+                ids = jnp.arange(v, dtype=jnp.int32)
+                coords = jnp.stack([ids // (r * r), (ids // r) % r,
+                                    ids % r], -1)
+                idx = hash_ops.grid_index(coords, r, p["tbl"])
+                inv = jnp.zeros((v,), jnp.int32).at[idx].set(
+                    ids, unique_indices=True)
+                perm = jax.random.permutation(
+                    jax.random.PRNGKey(1234 + p["level"]),
+                    v).astype(jnp.int32)
+                out3["pos_flat"].append(inv[perm])
+                out3["vert_entry"].append(ids)
+                out3["entry_values"].append(perm)
+                out3["cum"].append(jnp.arange(v + 1, dtype=jnp.int32))
+                n_entries.append(jnp.int32(v))
+            else:
+                s = sorted_parts[(p["kind"], p["level"])]
+                if p["kind"] == "3d":
+                    out3["pos_flat"].append(s["loc"])
+                    out3["vert_entry"].append(s["vert_entry"])
+                    out3["entry_values"].append(s["values"])
+                    out3["cum"].append(s["cum"])
                 else:
-                    win_max = t.n_points
-                self.tables2d[l] = t._replace(sample_n=sn,
-                                              max_win_pts=win_max)
-        else:
-            for l in self.ctx_levels_2d:
-                t = self.tables2d[l]
-                self.tables2d[l] = t._replace(sample_n=t.n_entries,
-                                              max_win_pts=t.n_points)
+                    x, y, blk = self._coords_2d(s["loc"], p["tile"], rb)
+                    out2["coords"].append((x << 16) | y)
+                    out2["block_id"].append(blk)
+                    out2["vert_entry"].append(s["vert_entry"])
+                    out2["entry_values"].append(s["values"])
+                    out2["cum"].append(s["cum"])
+                n_entries.append(s["n_e"])
+        res = {"n_entries": jnp.stack(n_entries)}
+        for k, v in out3.items():
+            if v:
+                res["3d_" + k] = jnp.concatenate(v)
+        for k, v in out2.items():
+            if v:
+                res["2d_" + k] = jnp.concatenate(v)
+        return res
+
+    def _win_sizes_impl(self, cum3, cum2, sn, ne):
+        """Per-plan max vertex-window size over all sn-entry windows.
+
+        win(i) = cum[i+sn] - cum[i] maximized over starts i <= n_e - sn;
+        sn/ne are dynamic args so ONE compile serves every quota (training
+        windows AND codec chunk windows).  Plan order = _level_plans."""
+        outs = []
+        for i, t in enumerate(self._all_tables_in_plan_order()):
+            cum = cum3 if isinstance(t, Level3DTable) else cum2
+            c = jax.lax.dynamic_slice(cum, (t.c_off,), (t.e_max + 1,))
+            idx = jnp.arange(t.e_max + 1, dtype=jnp.int32)
+            upper = jnp.take(c, jnp.minimum(idx + sn[i], t.e_max), axis=0)
+            ok = idx <= ne[i] - sn[i]
+            outs.append(jnp.max(jnp.where(ok, upper - c, 0)))
+        return jnp.stack(outs)
+
+    def _all_tables_in_plan_order(self):
+        return ([self.tables3d[l] for l in self.ctx_levels_3d] +
+                [self.tables2d[l] for l in self.ctx_levels_2d])
+
+    def max_window_pts(self, sample_ns: Sequence[int]) -> np.ndarray:
+        """Host entry: exact max vertex-window sizes for per-plan window
+        lengths (plan order: ctx 3D levels then ctx 2D levels)."""
+        fn = getattr(self, "_win_jit", None)
+        if fn is None:
+            fn = jax.jit(self._win_sizes_impl)
+            self._win_jit = fn
+        ne = np.asarray([t.n_entries
+                         for t in self._all_tables_in_plan_order()], np.int32)
+        cum3 = self._arrays3d.get("cum", jnp.zeros((0,), jnp.int32))
+        cum2 = self._arrays2d.get("cum", jnp.zeros((0,), jnp.int32))
+        out = fn(cum3, cum2, jnp.asarray(np.asarray(sample_ns, np.int32)),
+                 jnp.asarray(ne))
+        return np.asarray(out)
+
+    def _build_tables(self):
+        ecfg, spec3, spec2 = self.cfg, self.spec3, self.spec2
+        plans = self._level_plans()
+
+        # static concat offsets per plan
+        offs = {"3d": {"v": 0, "e": 0, "c": 0},
+                "2d": {"v": 0, "e": 0, "c": 0}}
+        meta = []
+        for p in plans:
+            o = offs[p["kind"]]
+            meta.append(dict(v_off=o["v"], e_off=o["e"], c_off=o["c"]))
+            o["v"] += p["v"]
+            o["e"] += p["e_max"]
+            o["c"] += p["e_max"] + 1
+
+        fn = jax.jit(self._fused_build_impl)
+        res = fn()
+        n_entries = np.asarray(res["n_entries"])   # the one host sync
+
+        self._arrays3d = {k: res["3d_" + k]
+                          for k in ("pos_flat", "vert_entry", "entry_values",
+                                    "cum") if "3d_" + k in res}
+        self._arrays2d = {k: res["2d_" + k]
+                          for k in ("coords", "block_id", "vert_entry",
+                                    "entry_values", "cum") if "2d_" + k in res}
+
+        self.tables3d: Dict[int, Level3DTable] = {}
+        self.tables2d: Dict[int, Level2DTable] = {}
+        for i, (p, m) in enumerate(zip(plans, meta)):
+            e = int(n_entries[i])
+            if p["kind"] == "3d":
+                self.tables3d[p["level"]] = Level3DTable(
+                    level=p["level"], resolution=p["r"],
+                    offset=spec3.offsets[p["level"]], n_entries=e,
+                    n_vertices=p["v"], sample_n=0, max_win_pts=0,
+                    v_off=m["v_off"], e_off=m["e_off"], c_off=m["c_off"],
+                    e_max=p["e_max"])
+            else:
+                self.tables2d[p["level"]] = Level2DTable(
+                    level=p["level"], resolution=p["r"],
+                    offset=spec2.offsets[p["level"]], tile=p["tile"],
+                    n_points=p["v"], n_entries=e, sample_n=0, max_win_pts=0,
+                    v_off=m["v_off"], e_off=m["e_off"], c_off=m["c_off"],
+                    e_max=p["e_max"])
+
+        # ---- proportional entry sampling quotas (utils_bpp_acc.py:350-352)
+        entry_counts = []
+        for l in range(self.pg_level):
+            if l in self.cfg.skip_levels_3d:
+                r = spec3.resolutions[l]
+                entry_counts.append(min(spec3.level_sizes[l], r ** 3))
+            else:
+                entry_counts.append(self.tables3d[l].n_entries)
+        counts_arr = np.asarray(entry_counts, np.float64)
+        sample = np.round(counts_arr * (self.cfg.sample_num /
+                                        counts_arr.sum()))
+        if sample[-1] > counts_arr[-1]:
+            sample = counts_arr
+        sample = sample.astype(np.int64)
+        sn3 = {}
+        for l in self.ctx_levels_3d:
+            t = self.tables3d[l]
+            sn3[l] = max(1, int(min(sample[l], t.n_entries)))
+
+        # ---- 2D quotas (TPU adaptation; None = full lattice per step)
+        sn2cfg = getattr(ecfg, "sample_num_2d", None)
+        sn2 = {}
+        tot2 = sum(self.tables2d[l].n_entries for l in self.ctx_levels_2d)
+        for l in self.ctx_levels_2d:
+            t = self.tables2d[l]
+            if sn2cfg:
+                sn2[l] = max(1, min(int(round(t.n_entries * sn2cfg / tot2)),
+                                    t.n_entries))
+            else:
+                sn2[l] = t.n_entries
+
+        # ---- exact window capacities, one shared program
+        sns = ([sn3[l] for l in self.ctx_levels_3d] +
+               [sn2[l] for l in self.ctx_levels_2d])
+        wins = self.max_window_pts(sns)
+        i = 0
+        for l in self.ctx_levels_3d:
+            t = self.tables3d[l]
+            w = t.n_vertices if sn3[l] >= t.n_entries else int(wins[i])
+            self.tables3d[l] = t._replace(sample_n=sn3[l], max_win_pts=w)
+            i += 1
+        for l in self.ctx_levels_2d:
+            t = self.tables2d[l]
+            w = t.n_points if sn2[l] >= t.n_entries else int(wins[i])
+            self.tables2d[l] = t._replace(sample_n=sn2[l], max_win_pts=w)
+            i += 1
 
     # ------------------------------------------------------- table arg pytree
     @property
     def table_arrays(self) -> Dict:
-        """Static vertex-table arrays as a pytree for passing INTO jits.
+        """Concatenated vertex-table device arrays as a pytree for passing
+        INTO jits; per-level slices are located by the static offsets in
+        Level3DTable / Level2DTable.
 
         Through the tunneled axon backend, a device array captured as a jit
         closure constant is fetched to host during lowering at ~7 s/MB
         (measured); these tables total hundreds of MB at flagship scale, so
         every jitted rate/pool function takes them as an argument instead.
         """
-        t = getattr(self, "_table_arrays", None)
-        if t is None:
-            t = {
-                "3d": {str(l): {
-                    "pos_flat": tb.pos_flat, "vert_entry": tb.vert_entry,
-                    "entry_values": tb.entry_values, "cum": tb.cum}
-                    for l, tb in self.tables3d.items()},
-                "2d": {str(l): {
-                    "coords": tb.coords, "block_id": tb.block_id,
-                    "vert_entry": tb.vert_entry,
-                    "entry_values": tb.entry_values, "cum": tb.cum}
-                    for l, tb in self.tables2d.items()},
-            }
-            self._table_arrays = t
-        return t
+        return {"3d": self._arrays3d, "2d": self._arrays2d}
 
+    def level_arrays_np(self, kind: str, level: int) -> Dict[str, np.ndarray]:
+        """Host view of one level's table slices (tests/tools/debug): keys
+        pos_flat|coords, block_id, vert_entry ([V]), entry_values
+        ([n_entries]), cum ([n_entries+1])."""
+        t = (self.tables3d if kind == "3d" else self.tables2d)[level]
+        arrays = self._arrays3d if kind == "3d" else self._arrays2d
+        v = t.n_vertices if kind == "3d" else t.n_points
+        out = {}
+        for k, arr in arrays.items():
+            a = np.asarray(arr)
+            if k in ("entry_values",):
+                out[k] = a[t.e_off:t.e_off + t.n_entries]
+            elif k == "cum":
+                out[k] = a[t.c_off:t.c_off + t.n_entries + 1]
+            else:
+                out[k] = a[t.v_off:t.v_off + v]
+        return out
+
+    def entry_values_np(self, kind: str, level: int) -> np.ndarray:
+        """Host copy of one level's entry_values[:n_entries] (codec decode
+        scatter targets); the concat buffer is fetched once and cached."""
+        cached = getattr(self, "_evals_np", None)
+        if cached is None:
+            cached = {
+                "3d": (np.asarray(self._arrays3d["entry_values"])
+                       if self._arrays3d else np.zeros(0, np.int32)),
+                "2d": (np.asarray(self._arrays2d["entry_values"])
+                       if self._arrays2d else np.zeros(0, np.int32))}
+            self._evals_np = cached
+        t = (self.tables3d if kind == "3d" else self.tables2d)[level]
+        return cached[kind][t.e_off:t.e_off + t.n_entries]
     # --------------------------------------------------------------- params
     def init_params(self, key) -> Dict:
         f = self.cfg.n_features
@@ -616,22 +743,26 @@ class ContextModels:
 
     # --------------------------------------------------- 3D training window
     def _slice_3d_windows(self, key, tbls):
-        """Random per-level entry windows -> concatenated padded vertex batch."""
+        """Random per-level entry windows -> concatenated padded vertex batch.
+
+        Per-level slices live in the concatenated buffers at the static
+        v_off/e_off/c_off offsets (cum values are level-local vertex
+        positions)."""
         parts = []
+        a = tbls["3d"]
         for l in self.ctx_levels_3d:
             t = self.tables3d[l]
-            a = tbls["3d"][str(l)]
             u = jax.random.uniform(jax.random.fold_in(key, l))
             start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
-            start_v = a["cum"][start_e]
-            end_v = a["cum"][start_e + t.sample_n]
-            pos = jax.lax.dynamic_slice(a["pos_flat"], (start_v,),
+            start_v = a["cum"][t.c_off + start_e]
+            end_v = a["cum"][t.c_off + start_e + t.sample_n]
+            pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,),
                                         (t.max_win_pts,))
-            ve = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
+            ve = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
                                        (t.max_win_pts,))
             vvalid = jnp.arange(t.max_win_pts) < (end_v - start_v)
-            evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,),
-                                          (t.sample_n,))
+            evals = jax.lax.dynamic_slice(a["entry_values"],
+                                          (t.e_off + start_e,), (t.sample_n,))
             parts.append(dict(level=l, pos=pos, slot=ve - start_e,
                               valid=vvalid, start_e=start_e,
                               entry_values=evals))
@@ -725,15 +856,17 @@ class ContextModels:
         """
         cfg = self.cfg
         t = self.tables2d[level]
-        a = (self.table_arrays if tbls is None else tbls)["2d"][str(level)]
-        start_v = a["cum"][start_e]
-        end_v = a["cum"][start_e + n_e]
-        coords = jax.lax.dynamic_slice(a["coords"], (start_v,), (w,))
-        blocks = jax.lax.dynamic_slice(a["block_id"], (start_v,), (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
+        a = (self.table_arrays if tbls is None else tbls)["2d"]
+        start_v = a["cum"][t.c_off + start_e]
+        end_v = a["cum"][t.c_off + start_e + n_e]
+        coords = jax.lax.dynamic_slice(a["coords"], (t.v_off + start_v,), (w,))
+        blocks = jax.lax.dynamic_slice(a["block_id"], (t.v_off + start_v,),
+                                       (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
                                       (w,)) - start_e
         valid = jnp.arange(w) < (end_v - start_v)
-        evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,), (n_e,))
+        evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
+                                      (n_e,))
 
         occ_block = bin2d.reshape(-1)[blocks] & valid     # block occupied
         x = (coords >> 16).astype(jnp.float32)
@@ -790,15 +923,16 @@ class ContextModels:
         cfg = self.cfg
         f = cfg.n_features
         t = self.tables3d[level]
-        a = (self.table_arrays if tbls is None else tbls)["3d"][str(level)]
+        a = (self.table_arrays if tbls is None else tbls)["3d"]
         r = t.resolution
-        start_v = a["cum"][start_e]
-        end_v = a["cum"][start_e + n_e]
-        pos = jax.lax.dynamic_slice(a["pos_flat"], (start_v,), (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (start_v,),
+        start_v = a["cum"][t.c_off + start_e]
+        end_v = a["cum"][t.c_off + start_e + n_e]
+        pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,), (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
                                       (w,)) - start_e
         valid = jnp.arange(w) < (end_v - start_v)
-        evals = jax.lax.dynamic_slice(a["entry_values"], (start_e,), (n_e,))
+        evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
+                                      (n_e,))
 
         mask = cache["mask3d"][self.mask3d_offsets[level] + pos] & valid
         ovl = cache["ovl"][str(level)][pos]

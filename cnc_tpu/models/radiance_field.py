@@ -77,6 +77,21 @@ def init_radiance_field(key, cfg: ModelConfig) -> Dict:
     return params
 
 
+def contract_to_unisphere(x: jnp.ndarray, aabb: jnp.ndarray,
+                          eps: float = 1e-6) -> jnp.ndarray:
+    """Mip-NeRF-360 scene contraction (reference ngp.py:337-361, ord=2).
+
+    aabb-normalized points map to [-1,1]; points outside the unit ball are
+    contracted to |x| in [1,2); output is rescaled to [0,1]^3 for the hash
+    grids.  Unbounded 360 scenes (nerf_360_v2 loader) query through this."""
+    lo, hi = aabb[:3], aabb[3:]
+    x = (x - lo) / (hi - lo) * 2.0 - 1.0
+    mag = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    mag = jnp.maximum(mag, eps)
+    x = jnp.where(mag > 1.0, (2.0 - 1.0 / mag) * (x / mag), x)
+    return x / 4.0 + 0.5
+
+
 def quantized_tables(params: Dict, cfg: ModelConfig) -> Dict[str, jnp.ndarray]:
     """Apply the configured STE quantizer to all four hash tables."""
     mode = ("ste_binary" if cfg.ste_binary else
@@ -106,9 +121,16 @@ def encode_position(params: Dict, cfg: ModelConfig, x01: jnp.ndarray,
 def query_density(params: Dict, cfg: ModelConfig, aabb: jnp.ndarray,
                   x_world: jnp.ndarray, return_feat: bool = False,
                   tables: Optional[Dict] = None):
-    """Density (+ optional geo features) at world positions (ngp.py:514-536)."""
-    lo, hi = aabb[:3], aabb[3:]
-    x01 = (x_world - lo) / (hi - lo)
+    """Density (+ optional geo features) at world positions (ngp.py:514-536).
+
+    With cfg.unbounded the aabb normalization is replaced by the unisphere
+    contraction (ngp.py:515-518); the selector applies on the contracted
+    coordinates either way, exactly like the reference."""
+    if cfg.unbounded:
+        x01 = contract_to_unisphere(x_world, aabb)
+    else:
+        lo, hi = aabb[:3], aabb[3:]
+        x01 = (x_world - lo) / (hi - lo)
     selector = jnp.all((x01 > 0.0) & (x01 < 1.0), axis=-1)
     feats = encode_position(params, cfg, x01, tables)
     h = linear(params["mlp_base"]["l0"], feats)

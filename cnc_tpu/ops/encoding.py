@@ -116,8 +116,10 @@ def _gather_levels(table: jnp.ndarray, gidx_list, w_list,
     gidx2 = jnp.concatenate(gidx_list, axis=1)        # [N, G*C]
     w2 = jnp.concatenate(w_list, axis=1)              # [N, G*C]
     if USE_SORTED_BACKWARD:
+        # need_dw=False: CNC never needs d(out)/d(weights) — sample positions
+        # and context lattice coords are not optimized (see scatter_ops)
         acc = scatter_ops.grouped_gather_interp(
-            table.astype(jnp.float32), gidx2, w2, g, f)
+            table.astype(jnp.float32), gidx2, w2, g, f, False)
     else:
         # reference path (plain autodiff scatter backward), for A/B testing
         feats = jnp.take(table, gidx2, axis=0,

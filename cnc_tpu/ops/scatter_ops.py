@@ -53,9 +53,10 @@ scatter_add_sorted_cols = scatter_add_cols
 scatter_add_sorted = scatter_add
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
-                          w2: jnp.ndarray, groups: int, f: int) -> jnp.ndarray:
+                          w2: jnp.ndarray, groups: int, f: int,
+                          need_dw: bool = True) -> jnp.ndarray:
     """out[n, g*F+fi] = sum_c w2[n, g*C+c] * table[gidx2[n, g*C+c], fi].
 
     table: [T, F]; gidx2/w2: [N, G*C] (corner-major within each group).
@@ -67,6 +68,11 @@ def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
     end-to-end at render scale; XLA fuses the [N, K, F] intermediate into
     the reduction).  The custom bwd keeps d_table as per-feature COLUMN
     scatters — a row scatter is ~9x slower per update.
+
+    need_dw=False skips the d_w cotangent (a full N*K corner re-gather plus
+    einsums): CNC never differentiates w.r.t. sample positions (no pose
+    optimization; context lattice points are integers), so every encode call
+    in the hot path passes False.
     """
     n, k = gidx2.shape
     c = k // groups
@@ -82,12 +88,12 @@ def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
     return jnp.concatenate(outs, axis=1)                  # [N, G*F]
 
 
-def _ggi_fwd(table, gidx2, w2, groups, f):
-    return (grouped_gather_interp(table, gidx2, w2, groups, f),
+def _ggi_fwd(table, gidx2, w2, groups, f, need_dw):
+    return (grouped_gather_interp(table, gidx2, w2, groups, f, need_dw),
             (table, gidx2, w2))
 
 
-def _ggi_bwd(groups, f, res, g):
+def _ggi_bwd(groups, f, need_dw, res, g):
     table, gidx2, w2 = res
     n, k = gidx2.shape
     c = k // groups
@@ -103,6 +109,8 @@ def _ggi_bwd(groups, f, res, g):
         d_cols.append(jnp.zeros((t,), col.dtype).at[gflat].add(
             col, mode="drop"))
     d_table = jnp.stack(d_cols, axis=-1)              # [T, F] (small boundary)
+    if not need_dw:
+        return d_table, None, jnp.zeros_like(w2)
     # d_w[n, g*C+c] = sum_f g[n, g*F+f] * table[gidx, f] — one row gather
     feats = jnp.take(table, gidx2, axis=0, mode="clip")     # [N, K, F]
     dw_parts = []

@@ -53,6 +53,8 @@ def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     r = rays_o.shape[0]
     tables = rf.quantized_tables(params, mcfg)
     opc_thre = 1.0 - rcfg.early_stop_eps
+    # hoisted out of the while_loop body (loop-invariant)
+    mip = marching.build_march_mip(binaries)
 
     def cond(state):
         i, rgb, opacity, depth, cursor, alive = state
@@ -62,7 +64,7 @@ def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         i, rgb, opacity, depth, cursor, alive = state
         samples = marching.march_rays(rays_o, rays_d, binaries, aabb, None,
                                       rcfg, round_capacity, ray_mask=alive,
-                                      t_start=cursor)
+                                      t_start=cursor, mip=mip)
         pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
         rgbs, sigmas = rf.forward(params, mcfg, aabb, pos, dirs, tables=tables)
         out = volrend.composite(rgbs, sigmas, samples, r,
@@ -81,12 +83,10 @@ def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         last_t = jax.ops.segment_max(
             jnp.where(samples.valid, samples.t_mid, -jnp.inf),
             samples.ray_id, num_segments=r, indices_are_sorted=True)
-        truncated = samples.num_samples > round_capacity
-        # compaction keeps hits in (ray, t) order, so under truncation only
-        # rays strictly before the last kept sample's ray are complete; that
-        # ray itself resumes at its cursor, and later rays are untouched
-        last_ray = samples.ray_id[round_capacity - 1]
-        ray_done = jnp.where(truncated, jnp.arange(r) < last_ray, True)
+        # compaction keeps hits in (ray, t) order, so only rays strictly
+        # before the marcher's first possibly-incomplete ray are complete;
+        # that ray resumes at its advanced cursor, later rays are untouched
+        ray_done = jnp.arange(r) < samples.resume_ray
         new_cursor = jnp.where(
             hits_per_ray > 0, jnp.maximum(cursor, last_t + samples.dt * 0.5),
             cursor)

@@ -31,10 +31,10 @@ from .trainer import Trainer
 @dataclasses.dataclass
 class PipelineResult:
     psnr: float
-    lpips: float
+    lpips: Optional[float]    # None = no LPIPS weights (recorded "n/a")
     ssim: float
     psnr_codec: float
-    lpips_codec: float
+    lpips_codec: Optional[float]
     ssim_codec: float
     embed_MB_est: float
     embed_MB_codec: float
@@ -117,7 +117,8 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
             stream_dir, pgs, trainer.ent_params,
             rf.split_mlp_params(trainer.params), trainer.occ_state.binaries,
             {"scene": scene, "lmbda": cfg.train.lmbda,
-             "n_features": cfg.model.n_features_per_level})
+             "n_features": cfg.model.n_features_per_level,
+             "config": cfg.to_dict()})
 
     log_fn("evaluating (post-codec)...")
     ev_codec = trainer.evaluate(test_dataset, max_images=max_eval_images)
@@ -146,6 +147,39 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
     return result
 
 
+def decode_bundle(stream_dir: str, log_fn=print):
+    """Rebuild a renderable radiance field from a self-contained bitstream
+    directory in a FRESH process: config from meta.json, context/MLP weights
+    and occupancy from meta.npz, hash tables decoded from the streams.
+
+    The reference cannot do this — it decodes in the training process with
+    Pg scalars and model weights still in memory (utils_bpp_acc.py:865,
+    driver :434-464); the self-contained bundle is this framework's claimed
+    extension.  Returns (params, binaries, cfg) ready for render_image."""
+    import json as _json
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    with open(os.path.join(stream_dir, "meta.json")) as fh:
+        meta = _json.load(fh)
+    cfg = CNCConfig.from_dict(meta["config"])
+    entropy = cm.ContextModels(cfg.entropy, cfg.model.grid_3d,
+                               cfg.model.grid_2d)
+    key = _jax.random.PRNGKey(0)
+    ent_template = entropy.init_params(key)
+    mlp_template = rf.split_mlp_params(rf.init_radiance_field(key, cfg.model))
+    pgs, ent_params, mlp_params, binaries = codec_mod.load_bundle(
+        stream_dir, ent_template, mlp_template)
+    binaries = _jnp.asarray(binaries)
+    codec = codec_mod.CNCCodec(entropy)
+    t0 = time.time()
+    rec = codec.decode(ent_params, binaries, pgs, stream_dir, prefix="b")
+    log_fn(f"decoded bundle {stream_dir} in {time.time() - t0:.1f}s")
+    params = {**rec, **mlp_params}
+    return params, binaries, cfg
+
+
 def append_result_row(result: PipelineResult, scene: str, dataset_name: str,
                       out_root: str = "."):
     """Append the TSV row with the reference's column layout (driver
@@ -153,18 +187,22 @@ def append_result_row(result: PipelineResult, scene: str, dataset_name: str,
     outdir = os.path.join(out_root, "results", dataset_name)
     os.makedirs(outdir, exist_ok=True)
     r = result
+
+    def fmt(v):
+        # absent LPIPS (no weights) is recorded "n/a", never NaN
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "n/a"
+        return np.round(v, 4)
+
     cols = [scene,
-            np.round(r.psnr, 4), np.round(r.lpips, 4), np.round(-r.ssim, 4),
-            np.round(r.psnr_codec, 4), np.round(r.lpips_codec, 4),
-            np.round(-r.ssim_codec, 4),
-            np.round(r.embed_MB_est, 4), np.round(r.embed_MB_codec, 4),
-            np.round(r.mlp_MB_orig, 4), np.round(r.context_MB, 4),
-            np.round(r.binary_vxl_MB, 4)]
+            fmt(r.psnr), fmt(r.lpips), fmt(-r.ssim),
+            fmt(r.psnr_codec), fmt(r.lpips_codec), fmt(-r.ssim_codec),
+            fmt(r.embed_MB_est), fmt(r.embed_MB_codec),
+            fmt(r.mlp_MB_orig), fmt(r.context_MB), fmt(r.binary_vxl_MB)]
     for i, q in enumerate(r.quant_results):
-        cols += [q["digits"], np.round(q["mlp_MB"], 4),
-                 np.round(q["psnr"], 4), np.round(q["lpips"], 4),
-                 np.round(-q["ssim"], 4),
-                 np.round(r.total_size_MB(i), 4)]
+        cols += [q["digits"], fmt(q["mlp_MB"]),
+                 fmt(q["psnr"]), fmt(q["lpips"]), fmt(-q["ssim"]),
+                 fmt(r.total_size_MB(i))]
     cols += [np.round(r.elapsed_train_s, 4), np.round(r.encode_s, 4),
              np.round(r.decode_s, 4)]
     with open(os.path.join(outdir, "output.txt"), "a") as fw:

@@ -377,7 +377,10 @@ class Trainer:
             rgb, gt = self.eval_image(i, ds)
             psnrs.append(float(M.psnr(rgb, gt)))
             ssims.append(float(M.ssim(rgb, gt)))
-            lpips_vals.append(M.lpips_fn(np.asarray(rgb), np.asarray(gt)))
+            lp = M.lpips_fn(np.asarray(rgb), np.asarray(gt))
+            if lp is not None:
+                lpips_vals.append(lp)
         return {"psnr": float(np.mean(psnrs)),
                 "ssim": float(np.mean(ssims)),
-                "lpips": float(np.mean(lpips_vals))}
+                # None (recorded "n/a") when no LPIPS weights are available
+                "lpips": float(np.mean(lpips_vals)) if lpips_vals else None}

@@ -1,9 +1,10 @@
-"""Image quality metrics: PSNR, SSIM (gaussian-window, pytorch_ssim-parity).
+"""Image quality metrics: PSNR, SSIM (gaussian-window, pytorch_ssim-parity),
+LPIPS (JAX VGG16 port, utils/lpips_jax.py).
 
-LPIPS requires pretrained VGG weights that are not available offline in this
-environment; `lpips_fn` returns NaN when the backing package/weights are
-missing (the drivers record it as such), mirroring the reference's use of the
-pip `lpips` package (train_CNC_nerf_synthetic.py:296-298).
+LPIPS requires pretrained VGG weights (the reference uses the pip `lpips`
+package, train_CNC_nerf_synthetic.py:296-298); this environment ships none
+(zero egress), so `lpips_fn` returns None when no weight file is found
+(see lpips_jax.load_weights search paths) and the drivers record "n/a".
 """
 
 from __future__ import annotations
@@ -64,22 +65,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     return jnp.mean(m)
 
 
-_LPIPS_CACHE = {}
-
-
-def lpips_fn(img1: np.ndarray, img2: np.ndarray) -> float:
-    """VGG LPIPS on host via torch when available; NaN otherwise."""
-    try:
-        import torch
-        import lpips as lpips_pkg  # may be absent or weightless offline
-        net = _LPIPS_CACHE.get("net")
-        if net is None:
-            net = lpips_pkg.LPIPS(net="vgg")
-            _LPIPS_CACHE["net"] = net
-        def norm(x):
-            t = torch.from_numpy(np.asarray(x, np.float32))
-            return t[None].permute(0, 3, 1, 2) * 2 - 1
-        with torch.no_grad():
-            return float(net(norm(img1), norm(img2)).mean())
-    except Exception:
-        return float("nan")
+def lpips_fn(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
+    """VGG16 LPIPS (JAX port); None when no pretrained weights are found."""
+    from . import lpips_jax
+    return lpips_jax.lpips(img1, img2)

@@ -69,7 +69,7 @@ def test_roundtrip_lossless(setup):
                     pg_n=jnp.float32(pgs[f"3D{l}"]),
                     start_e=jnp.int32(start))
                 cov = np.asarray(covered)[lo - start:hi - start]
-                evals = np.asarray(t.entry_values)[lo:hi]
+                evals = ctx.entry_values_np("3d", l)[lo:hi]
                 got = rec3[off + evals]
                 want = tbl3[off + evals]
                 np.testing.assert_array_equal(got[cov], want[cov])

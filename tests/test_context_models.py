@@ -49,26 +49,31 @@ class TestTables:
         for l, t in ctx.tables3d.items():
             r = t.resolution
             assert t.n_vertices == r ** 3
-            pos = np.asarray(t.pos_flat)
+            a = ctx.level_arrays_np("3d", l)
+            pos = a["pos_flat"]
             xyz = np.stack([pos // (r * r), (pos // r) % r, pos % r], -1)
             idx = hash_ops.grid_index_np(xyz, r, ctx.spec3.level_sizes[l])
-            evals = np.asarray(t.entry_values)
-            ve = np.asarray(t.vert_entry)
-            np.testing.assert_array_equal(evals[ve], idx)
-            counts = np.asarray(t.counts)
+            np.testing.assert_array_equal(a["entry_values"][a["vert_entry"]],
+                                          idx)
+            counts = np.diff(a["cum"])
             assert counts.sum() == r ** 3
-            assert np.asarray(t.cum)[-1] == r ** 3
+            assert np.all(counts > 0)
+            assert a["cum"][0] == 0 and a["cum"][-1] == r ** 3
 
     def test_2d_lattice_block_structure(self, ctx):
         for l, t in ctx.tables2d.items():
             assert t.n_points == 16 * 16 * (t.tile + 2) ** 2
-            x = np.asarray(t.coords) >> 16
-            y = np.asarray(t.coords) & 0xFFFF
+            a = ctx.level_arrays_np("2d", l)
+            x = a["coords"] >> 16
+            y = a["coords"] & 0xFFFF
             assert x.max() <= t.resolution - 1 and y.max() <= t.resolution - 1
             idx = hash_ops.grid_index_np(np.stack([x, y], -1), t.resolution,
                                          ctx.spec2.level_sizes[l])
-            np.testing.assert_array_equal(
-                np.asarray(t.entry_values)[np.asarray(t.vert_entry)], idx)
+            np.testing.assert_array_equal(a["entry_values"][a["vert_entry"]],
+                                          idx)
+            # cum is monotone and covers every lattice point
+            assert a["cum"][0] == 0 and a["cum"][-1] == t.n_points
+            assert np.all(np.diff(a["cum"]) > 0)
 
 
 class TestCache:

@@ -74,6 +74,24 @@ def test_run_pipeline_end_to_end(tmp_path):
                             "output.txt")).read().strip().split("\t")
     assert out[0] == "tiny" and len(out) > 12
 
+    # ---- self-contained bundle: rebuild EVERYTHING from disk only (fresh
+    # objects — the process-restart equivalent), decode, render, and match
+    # the post-codec PSNR (no reference counterpart: it decodes in-process
+    # with Pg scalars/model weights still in memory, SURVEY §5)
+    import jax.numpy as jnp
+    from cnc_tpu.render import renderer
+    from cnc_tpu.utils import metrics as M
+
+    params, binaries, bcfg = driver.decode_bundle(sdir,
+                                                  log_fn=lambda *a: None)
+    rays, gt = ds.image_and_rays(0)
+    rgb, _, _ = renderer.render_image(
+        params, bcfg.model, bcfg.render, jnp.asarray(bcfg.render.aabb),
+        binaries, rays.origins, rays.viewdirs, jnp.ones((3,)))
+    psnr_bundle = float(M.psnr(rgb, gt))
+    assert abs(psnr_bundle - res.psnr_codec) < 1e-3, (psnr_bundle,
+                                                      res.psnr_codec)
+
 
 def test_run_pipeline_multichip(tmp_path):
     """Same pipeline through the data-parallel trainer on the 8-device CPU

@@ -1,0 +1,96 @@
+"""Unbounded-scene mode: unisphere contraction + smoke training.
+
+Reference parity target: contract_to_unisphere (examples/radiance_fields/
+ngp.py:337-361, ord=2 branch) and the unbounded query path (ngp.py:515-518).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnc_tpu.config import CNCConfig, ModelConfig, RenderConfig, TrainConfig
+from cnc_tpu.models import radiance_field as rf
+
+
+AABB = np.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5], np.float32)
+
+
+def contract_np(x, aabb, eps=1e-6):
+    """NumPy port of the reference contraction (ngp.py:337-361)."""
+    lo, hi = aabb[:3], aabb[3:]
+    x = (x - lo) / (hi - lo) * 2.0 - 1.0
+    mag = np.linalg.norm(x, axis=-1, keepdims=True)
+    mask = mag[..., 0] > 1
+    x[mask] = (2 - 1 / mag[mask]) * (x[mask] / mag[mask])
+    return x / 4 + 0.5
+
+
+class TestContraction:
+    def test_matches_numpy_port(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2048, 3)).astype(np.float32) * 4.0
+        got = np.asarray(rf.contract_to_unisphere(jnp.asarray(x),
+                                                  jnp.asarray(AABB)))
+        want = contract_np(x.copy(), AABB)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_inside_ball_is_affine(self):
+        # points inside the unit ball (post-normalization) map affinely
+        x = np.asarray([[0.0, 0.0, 0.0], [0.6, 0.0, 0.0]], np.float32)
+        got = np.asarray(rf.contract_to_unisphere(jnp.asarray(x),
+                                                  jnp.asarray(AABB)))
+        norm = (x - AABB[:3]) / (AABB[3:] - AABB[:3]) * 2 - 1
+        np.testing.assert_allclose(got, norm / 4 + 0.5, atol=1e-6)
+
+    def test_far_points_stay_inside_unit_cube(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((512, 3)).astype(np.float32) * 1e3
+        got = np.asarray(rf.contract_to_unisphere(jnp.asarray(x),
+                                                  jnp.asarray(AABB)))
+        # contraction bounds |x| < 2 -> output in (0.0, 1.0)
+        assert got.min() > 0.0 and got.max() < 1.0
+
+    def test_unbounded_density_runs_and_differs(self):
+        cfg = ModelConfig(n_features_per_level=2, n_neurons=32,
+                          resolutions_3d=(10, 18, 34),
+                          resolutions_2d=(18, 34),
+                          log2_hashmap_size=10, log2_hashmap_size_2D=8,
+                          pe_num_freqs=4)
+        ucfg = dataclasses.replace(cfg, unbounded=True)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), cfg)
+        aabb = jnp.asarray(AABB)
+        # outside the aabb: bounded mode zeroes density via the selector,
+        # unbounded mode still queries through the contraction
+        x = jnp.asarray([[2.5, 0.3, -0.2]])
+        d_b = rf.query_density(params, cfg, aabb, x)
+        d_u = rf.query_density(params, ucfg, aabb, x)
+        assert float(d_b[0]) == 0.0
+        assert np.isfinite(float(d_u[0]))
+
+
+class TestUnboundedTraining:
+    def test_smoke_train(self):
+        from cnc_tpu.data.scenes import ProceduralDataset
+        from cnc_tpu.train.trainer import Trainer
+
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=32,
+                           resolutions_3d=(10, 18, 34, 66),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=8,
+                           pe_num_freqs=4, unbounded=True)
+        cfg = CNCConfig(
+            model=mcfg,
+            render=dataclasses.replace(RenderConfig(), occ_resolution=16,
+                                       render_step_size=0.05,
+                                       sample_budget=1 << 12, march_block=16),
+            train=dataclasses.replace(TrainConfig(), lmbda=0.0,
+                                      init_batch_size=256,
+                                      min_ray_bucket=256,
+                                      max_ray_bucket=1024))
+        ds = ProceduralDataset("blocks", n_images=4, width=48, height=48,
+                               n_steps_gt=64)
+        tr = Trainer(cfg, ds)
+        tr.fit(max_steps=3, log_every=0)
+        assert tr.step == 4

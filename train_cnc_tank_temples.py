@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--out_root", type=str, default=".")
     parser.add_argument("--multichip", action="store_true",
                         help="data-parallel training over all local devices")
+    parser.add_argument("--decode_only", action="store_true",
+                        help="rebuild the field from bitstreams/<scene>/ in "
+                             "a fresh process, render the test set, report "
+                             "PSNR (no training)")
     args = parser.parse_args()
 
     from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
@@ -77,6 +81,27 @@ def main():
         train=dataclasses.replace(TrainConfig(), lmbda=args.lmbda,
                                   max_steps=args.max_steps),
     )
+    if args.decode_only:
+        import jax.numpy as jnp
+        import numpy as np
+        from cnc_tpu.render import renderer
+        from cnc_tpu.utils import metrics as M
+
+        stream_dir = os.path.join(args.out_root, "bitstreams", args.scene)
+        params, binaries, bcfg = driver.decode_bundle(stream_dir)
+        n = (len(test_ds) if args.max_eval_images is None
+             else min(args.max_eval_images, len(test_ds)))
+        psnrs = []
+        for i in range(n):
+            rays, gt = test_ds.image_and_rays(i)
+            rgb, _, _ = renderer.render_image(
+                params, bcfg.model, bcfg.render,
+                jnp.asarray(bcfg.render.aabb), binaries,
+                rays.origins, rays.viewdirs, jnp.ones((3,)))
+            psnrs.append(float(M.psnr(rgb, gt)))
+        print(f"decode_only: psnr={np.mean(psnrs):.3f} over {n} images")
+        return
+
     mesh = None
     if args.multichip:
         import jax
