@@ -27,12 +27,18 @@ def log(*a):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     import dataclasses
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # this environment's sitecustomize imports jax at interpreter start,
+    # BEFORE the env var above can register — set the config directly
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     from cnc_tpu.config import CNCConfig, EntropyConfig, ModelConfig, \
         RenderConfig, TrainConfig
@@ -45,10 +51,13 @@ def main():
         model=ModelConfig(n_features_per_level=4),
         entropy=EntropyConfig(n_features=4, sample_num=100000),
         render=RenderConfig(),
-        # start at the measured steady ray bucket so the dynamic batcher
-        # doesn't walk through (and compile) a ladder of smaller buckets
+        # pin the ray bucket to the measured steady value (4096 on this
+        # scene): the throughput of the step is what's measured, and letting
+        # the dynamic batcher wander pays a fresh multi-minute render-grad
+        # compile through the tunneled backend for every new bucket it visits
         train=dataclasses.replace(TrainConfig(), lmbda=2e-3,
-                                  init_batch_size=16384),
+                                  init_batch_size=4096,
+                                  min_ray_bucket=4096, max_ray_bucket=4096),
     )
     t0 = time.time()
     ds = scenes.ProceduralDataset("blocks", n_images=8, width=128, height=128,
@@ -59,7 +68,7 @@ def main():
     log(f"entropy tables in {time.time()-t0:.1f}s")
     tr = Trainer(cfg, ds, entropy=entropy)
 
-    warmup = 24
+    warmup = 18   # past one occupancy refresh interval, all programs built
     measure = 16
     t0 = time.time()
     tr.fit(max_steps=warmup - 1, log_every=0)   # absolute: steps 0..warmup-1

@@ -9,6 +9,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import dataclasses
 import jax
+
+from cnc_tpu.utils.jit_cache import ensure_compilation_cache
+ensure_compilation_cache()
 import jax.numpy as jnp
 
 from cnc_tpu.config import CNCConfig, EntropyConfig, ModelConfig, \

@@ -51,6 +51,8 @@ def main():
                              "PSNR (no training)")
     args = parser.parse_args()
 
+    from cnc_tpu.utils.jit_cache import ensure_compilation_cache
+    ensure_compilation_cache()
     from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
                                 RenderConfig, TrainConfig)
     from cnc_tpu.train import driver
