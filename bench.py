@@ -67,6 +67,7 @@ def main():
     entropy = driver.build_entropy(cfg)
     log(f"entropy tables in {time.time()-t0:.1f}s")
     tr = Trainer(cfg, ds, entropy=entropy)
+    tr.warm_compile(log_fn=log)   # concurrent compiles: wall ~ max, not sum
 
     warmup = 18   # past one occupancy refresh interval, all programs built
     measure = 16

@@ -79,6 +79,7 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
     entropy = (build_entropy(cfg, n_dev) if cfg.train.lmbda > 0 else None)
     log_fn(f"entropy tables built in {time.time() - t0:.1f}s")
     trainer = Trainer(cfg, train_dataset, entropy=entropy, mesh=mesh)
+    trainer.warm_compile(log_fn=log_fn)   # concurrent compiles (wall ~ max)
     log_fn("training...")
     elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
 

@@ -270,6 +270,70 @@ class Trainer:
             self.opt_state_ent, g_rf, g_rate, g_ent)
         return aux
 
+    # ------------------------------------------------------------- warmup
+    def warm_compile(self, log_fn=print):
+        """Compile every step program CONCURRENTLY.
+
+        First-use compilation inside fit() pays the SUM of the per-program
+        compile times serially (the dominant fixed cost of short runs on the
+        tunneled backend, ~30-300 s per program).  Here each program is
+        dispatched from its own thread with throwaway inputs of the training
+        shapes: tracing interleaves on the host, the backend compiles the
+        programs concurrently, and the wall cost drops toward the MAX.  The
+        jit caches populated are the ones fit() hits, so training afterwards
+        runs warm.  No trainer state is advanced (the occupancy/cache values
+        computed here are discarded)."""
+        import concurrent.futures as cf
+        cfg = self.cfg
+        use_entropy = self.entropy is not None and cfg.train.lmbda > 0
+        bucket = _next_bucket(self.num_rays, cfg.train.min_ray_bucket,
+                              cfg.train.max_ray_bucket, self.n_dev)
+        self.key, k = jax.random.split(self.key)
+        tic = time.time()
+        rays, pixels = self._fetch(bucket, k)  # compiles the fetch program
+        bkgd = jnp.ones((3,))
+        ent_cache = (self.entropy.init_cache() if self.entropy is not None
+                     else None)
+        binaries = self.occ_state.binaries
+
+        # build the jitted fn objects on this thread (cache dict writes),
+        # then dispatch the compilations concurrently
+        jobs = {}
+        if self.step < cfg.render.occ_warmup_steps:
+            jobs["occ_warm"] = (self._occ_step(True), self.params,
+                                self.occ_state, k)
+        jobs["occ"] = (self._occ_step(False), self.params, self.occ_state, k)
+        jobs["render_grad"] = (self._render_grad_fn(bucket), self.params,
+                               binaries, rays.origins, rays.viewdirs, pixels,
+                               bkgd, k)
+        if use_entropy:
+            jobs["refresh"] = (self.entropy.refresh_cache, binaries, ent_cache)
+            jobs["rate2d"] = (self._rate2d_grad_fn(), self.params,
+                              self.ent_params, k, ent_cache,
+                              self.entropy.table_arrays)
+            jobs["rate3d"] = (self._rate3d_grad_fn(), self.params,
+                              self.ent_params, k, ent_cache,
+                              self.entropy.table_arrays)
+        g_rate = self.params if use_entropy else None
+        jobs["apply"] = (self._apply_fn(), self.params, self.ent_params,
+                         self.opt_state_rf, self.opt_state_ent, self.params,
+                         g_rate, self.ent_params)
+
+        def run(name, fn, *args):
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            return name, time.time() - t0
+
+        with cf.ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = [pool.submit(run, name, *job) for name, job in jobs.items()]
+            for f in cf.as_completed(futs):
+                name, dt = f.result()
+                if log_fn:
+                    log_fn(f"  warm_compile: {name} in {dt:.1f}s")
+        if log_fn:
+            log_fn(f"warm_compile: {len(jobs)} programs in "
+                   f"{time.time()-tic:.1f}s")
+
     def _fetch(self, n_rays: int, key):
         fn = self._jit_cache.get(("fetch", n_rays))
         if fn is None:

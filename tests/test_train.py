@@ -58,6 +58,35 @@ def test_training_improves_psnr():
     assert p > 14.0, f"psnr after training too low: {p}"
 
 
+def test_warm_compile_then_fit():
+    """warm_compile populates the jit caches concurrently; fit() afterwards
+    must reuse them (no behavior change) and train to finite metrics."""
+    from cnc_tpu.train import driver
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        entropy=EntropyConfig(n_features=2, sample_num=512,
+                              max_context_layer_num=2, Pg_level=3,
+                              Pg_level_2D=2, skip_levels_3d=(0, 1),
+                              skip_levels_2d=(0,), Rb=16,
+                              pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
+                              sample_num_2d=256, v_ctx_cap=1 << 11),
+        train=dataclasses.replace(cfg.train, lmbda=2e-3))
+    ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,
+                                  n_steps_gt=64)
+    entropy = driver.build_entropy(cfg)
+    tr = Trainer(cfg, ds, entropy=entropy)
+    tr.warm_compile(log_fn=None)
+    assert tr.step == 0                      # no state advanced
+    n_compiled = len(tr._jit_cache)
+    tr.fit(max_steps=2, log_every=0)
+    # the fit reused the warmed programs (only new-bucket fetch/render may add)
+    assert len(tr._jit_cache) >= n_compiled
+    rgb, gt = tr.eval_image(0)
+    assert np.isfinite(float(M.psnr(rgb, gt)))
+
+
 def test_ssim_basics():
     a = jnp.ones((32, 32, 3)) * 0.5
     assert float(M.ssim(a, a)) > 0.99

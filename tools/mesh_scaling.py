@@ -24,7 +24,17 @@ import time
 def measure(n_dev: int) -> dict:
     import dataclasses
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
+
+    # sitecustomize binds the axon (single-TPU) platform at interpreter
+    # start regardless of env; re-point at the virtual CPU mesh
+    if len(jax.devices()) < n_dev or jax.devices()[0].platform != "cpu":
+        import jax.extend.backend as jax_backend
+        jax.config.update("jax_platforms", "cpu")
+        jax_backend.clear_backends()
+        assert len(jax.devices()) >= n_dev, jax.devices()
     import jax.numpy as jnp
     import numpy as np
 
