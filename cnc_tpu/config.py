@@ -165,6 +165,14 @@ class EntropyConfig:
     # propagate gradients through the dimension-wise prior during training
     # (the reference does; default off here to skip its scatter-heavy backward)
     pn_frac_grad: bool = False
+    # propagate rate gradients through the CONTEXT-feature gathers
+    # (reference behavior: utils_bpp_acc.py differentiates the coarser-level
+    # lookups feeding the context MLPs).  Their backward is the dominant
+    # scatter of the 3D rate program (~2M ctx vertices x 24 corners x F
+    # column updates); ctx_grad=False stop-gradients the gathered features —
+    # the coded entries and the context MLPs still train through the direct
+    # bernoulli-bits path — as a measured speed/RD tradeoff knob.
+    ctx_grad: bool = True
     # training-time 2D entry-window sampling (None = full lattice per step,
     # which is the reference behavior)
     sample_num_2d: Optional[int] = 65536

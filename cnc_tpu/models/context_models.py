@@ -874,7 +874,11 @@ class ContextModels:
         pts = jnp.stack([(x - 0.5), (y - 0.5)], -1) / (t.resolution - 2.0)
 
         cln = min(level, cfg.max_context_layer_num)
-        ctx = enc.grid_encode(pts, tbl2, self.spec2, level - cln, level,
+        # ctx_grad=False: the coarser-level context lookups become constants
+        # of the rate graph (their scatter-heavy backward is skipped); the
+        # coded entries keep their direct bernoulli-bits gradient below
+        ctx_src = tbl2 if cfg.ctx_grad else jax.lax.stop_gradient(tbl2)
+        ctx = enc.grid_encode(pts, ctx_src, self.spec2, level - cln, level,
                               occ_mask=mask2d,
                               mask_offsets=self.mask2d_offsets)
         feats = [ctx]
@@ -1022,7 +1026,9 @@ class ContextModels:
         pts = (jnp.stack([xx, yy, zz], -1).astype(jnp.float32) - 0.5) / \
             (res_arr.astype(jnp.float32) - 2.0)[:, None]
         k = cfg.max_context_layer_num
-        ctx = enc.grid_encode_diff_levels(pts, tbl3, self.spec3,
+        # see pool_2d_level: ctx_grad=False skips the context-gather backward
+        ctx_src = tbl3 if cfg.ctx_grad else jax.lax.stop_gradient(tbl3)
+        ctx = enc.grid_encode_diff_levels(pts, ctx_src, self.spec3,
                                           clev - k, k,
                                           occ_mask=cache["mask3d"],
                                           mask_offsets=self.mask3d_offsets)

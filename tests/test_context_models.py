@@ -222,6 +222,37 @@ class TestRateEstimate:
         assert float(jnp.abs(g_tab["xyz"]).sum()) > 0
         assert float(jnp.abs(g_tab["xy"]).sum()) > 0
 
+    def test_ctx_grad_flag(self, ctx, binaries, cache):
+        """ctx_grad=False must not change the forward rate, must keep the
+        direct (coded-entry) gradient path alive, and must remove the
+        context-gather contribution (grads differ from ctx_grad=True)."""
+        ecfg, spec3, spec2 = tiny_setup()
+        ctx_ng = cm.ContextModels(dataclasses.replace(ecfg, ctx_grad=False),
+                                  spec3, spec2)
+        cache_ng = ctx_ng.refresh_cache(binaries)
+        key = jax.random.PRNGKey(3)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(9)
+        raw = {k: jnp.asarray(rng.standard_normal(
+            (spec.total_entries, 2)).astype(np.float32)) * 0.01
+            for k, spec in (("xyz", spec3), ("xy", spec2), ("xz", spec2),
+                            ("yz", spec2))}
+        from cnc_tpu.ops import ste as ste_ops
+
+        def loss(model, cch, raw_tables):
+            tables = {k: ste_ops.ste_binary(v) for k, v in raw_tables.items()}
+            bpp, _ = model.rate_estimate(ent_params, tables, binaries, key,
+                                         cch)
+            return bpp
+
+        b1, g1 = jax.value_and_grad(lambda r: loss(ctx, cache, r))(raw)
+        b2, g2 = jax.value_and_grad(lambda r: loss(ctx_ng, cache_ng, r))(raw)
+        np.testing.assert_allclose(float(b1), float(b2), rtol=1e-5)
+        assert float(jnp.abs(g2["xyz"]).sum()) > 0      # direct path alive
+        assert float(jnp.abs(g2["xy"]).sum()) > 0
+        diff = float(jnp.abs(g1["xyz"] - g2["xyz"]).sum())
+        assert diff > 0, "ctx_grad=True and False gave identical grads"
+
     @staticmethod
     def _calibrated_params(ctx, key):
         """Context params that always output p=0.5 (1 bit for any symbol)."""

@@ -83,15 +83,24 @@ def main():
         n = int(os.environ["CNC_MESH_N"])
         print(json.dumps(measure(n)), flush=True)
         return
-    for n in (1, 2, 4, 8):
+    counts = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
+                               else ("1", "2", "4", "8"))]
+    for n in counts:
         env = dict(os.environ)
         env["CNC_MESH_N"] = str(n)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count={n}"
                             ).strip()
-        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                       check=True)
+        # XLA's in-process collective rendezvous aborts after a hardcoded
+        # 40 s if a participant thread is starved — on this 1-core host a
+        # concurrent heavy process can kill the child, so don't let one
+        # failure abort the sweep
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env)
+        if r.returncode != 0:
+            print(json.dumps({"n_devices": n, "error": r.returncode}),
+                  flush=True)
 
 
 if __name__ == "__main__":

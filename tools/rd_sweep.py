@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def run_one(scale: float, steps: int) -> dict:
+def run_one(scale: float, steps: int, ctx_grad: bool = True) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import dataclasses
@@ -40,7 +40,8 @@ def run_one(scale: float, steps: int) -> dict:
         sample_num=max(1024, int(e.sample_num * scale)),
         v_ctx_cap=max(1 << 16, int(e.v_ctx_cap * scale)),
         sample_num_2d=max(4096, int(e.sample_num_2d * scale)),
-        pn_frac_sample_cap=max(1 << 16, int(e.pn_frac_sample_cap * scale)))
+        pn_frac_sample_cap=max(1 << 16, int(e.pn_frac_sample_cap * scale)),
+        ctx_grad=ctx_grad)
     cfg = CNCConfig(
         model=ModelConfig(n_features_per_level=4),
         entropy=e,
@@ -69,7 +70,8 @@ def run_one(scale: float, steps: int) -> dict:
     bpp, mb = entropy.rate_estimate(
         tr.ent_params, tables, tr.occ_state.binaries,
         jax.random.PRNGKey(7), tr._last_ent_cache, entropy.table_arrays)
-    return {"scale": scale, "steps": steps, "psnr": round(ev["psnr"], 3),
+    return {"scale": scale, "ctx_grad": ctx_grad, "steps": steps,
+            "psnr": round(ev["psnr"], 3),
             "embed_MB": round(float(mb), 4),
             "bits_per_param": round(float(bpp), 4),
             "step_s": round(step_s, 3), "setup_s": round(setup_s, 1)}
@@ -84,13 +86,18 @@ def main():
 
     if os.environ.get("CNC_SWEEP_SCALE"):
         r = run_one(float(os.environ["CNC_SWEEP_SCALE"]),
-                    int(os.environ["CNC_SWEEP_STEPS"]))
+                    int(os.environ["CNC_SWEEP_STEPS"]),
+                    ctx_grad=os.environ.get("CNC_SWEEP_CTXGRAD", "1") == "1")
         print(json.dumps(r), flush=True)
         return
 
-    for s in [float(x) for x in args.scales.split(",")]:
+    # a scale prefixed "ng" additionally sets ctx_grad=False (e.g. "ng1.0")
+    for tok in args.scales.split(","):
+        ng = tok.startswith("ng")
+        s = float(tok[2:] if ng else tok)
         env = dict(os.environ, CNC_SWEEP_SCALE=str(s),
-                   CNC_SWEEP_STEPS=str(args.steps))
+                   CNC_SWEEP_STEPS=str(args.steps),
+                   CNC_SWEEP_CTXGRAD="0" if ng else "1")
         print(f"=== scale {s} ===", file=sys.stderr, flush=True)
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
