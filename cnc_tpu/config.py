@@ -244,6 +244,11 @@ class TrainConfig:
     # checkpoint/resume (reference has none — SURVEY.md §5); None = off
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 1000
+    # run the 2D/3D entropy rate gradients every K steps (reference: every
+    # step).  The rate programs are an estimate over freshly-sampled entry
+    # windows anyway; amortizing them over K render steps is a measured
+    # speed/RD knob (tools/rd_sweep.py), NOT a default deviation.
+    rate_update_interval: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -212,11 +212,10 @@ class Trainer:
         return jax.shard_map(body, mesh=self.mesh, in_specs=(P(),) * 5,
                              out_specs=(P(), P()), check_vma=False)
 
-    def _apply_fn(self):
-        fn = self._jit_cache.get("apply")
+    def _apply_fn(self, with_rate: bool):
+        fn = self._jit_cache.get(("apply", with_rate))
         if fn is not None:
             return fn
-        use_entropy = self.entropy is not None and self.cfg.train.lmbda > 0
 
         @jax.jit
         def apply(params, ent_params, opt_state_rf, opt_state_ent, g_rf,
@@ -225,18 +224,20 @@ class Trainer:
                 g_rf = jax.tree.map(jnp.add, g_rf, g_rate)
             upd, opt_state_rf = self.opt_rf.update(g_rf, opt_state_rf, params)
             params = optax.apply_updates(params, upd)
-            if use_entropy:
+            if with_rate:
                 upd_e, opt_state_ent = self.opt_ent.update(
                     g_ent, opt_state_ent, ent_params)
                 ent_params = optax.apply_updates(ent_params, upd_e)
             return params, ent_params, opt_state_rf, opt_state_ent
 
-        self._jit_cache["apply"] = apply
+        self._jit_cache[("apply", with_rate)] = apply
         return apply
 
     def _train_step(self, bucket, rays, pixels, bkgd, key, ent_cache,
                     log_fn=None):
-        use_entropy = self.entropy is not None and self.cfg.train.lmbda > 0
+        use_entropy = (self.entropy is not None and self.cfg.train.lmbda > 0
+                       and self.step % self.cfg.train.rate_update_interval
+                       == 0)
         g_rf, aux = self._render_grad_fn(bucket)(
             self.params, self.occ_state.binaries, rays.origins, rays.viewdirs,
             pixels, bkgd, key)
@@ -265,7 +266,7 @@ class Trainer:
                    "bits_per_param": ttl_bits / self.entropy.total_param_count,
                    "embed_MB": ttl_bits / 8.0 / 1024.0 / 1024.0}
         (self.params, self.ent_params, self.opt_state_rf,
-         self.opt_state_ent) = self._apply_fn()(
+         self.opt_state_ent) = self._apply_fn(use_entropy)(
             self.params, self.ent_params, self.opt_state_rf,
             self.opt_state_ent, g_rf, g_rate, g_ent)
         return aux
@@ -315,9 +316,16 @@ class Trainer:
                               self.ent_params, k, ent_cache,
                               self.entropy.table_arrays)
         g_rate = self.params if use_entropy else None
-        jobs["apply"] = (self._apply_fn(), self.params, self.ent_params,
-                         self.opt_state_rf, self.opt_state_ent, self.params,
-                         g_rate, self.ent_params)
+        jobs["apply"] = (self._apply_fn(use_entropy), self.params,
+                         self.ent_params, self.opt_state_rf,
+                         self.opt_state_ent, self.params, g_rate,
+                         self.ent_params)
+        if use_entropy and cfg.train.rate_update_interval > 1:
+            # fit() also hits the no-rate apply variant on skipped steps
+            jobs["apply_norate"] = (self._apply_fn(False), self.params,
+                                    self.ent_params, self.opt_state_rf,
+                                    self.opt_state_ent, self.params, None,
+                                    self.ent_params)
 
         def run(name, fn, *args):
             t0 = time.time()

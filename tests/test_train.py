@@ -87,6 +87,44 @@ def test_warm_compile_then_fit():
     assert np.isfinite(float(M.psnr(rgb, gt)))
 
 
+def test_rate_update_interval():
+    """rate_update_interval=2 must run rate grads only on even steps (ent
+    params frozen in between) and keep training stable."""
+    from cnc_tpu.train import driver
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        entropy=EntropyConfig(n_features=2, sample_num=512,
+                              max_context_layer_num=2, Pg_level=3,
+                              Pg_level_2D=2, skip_levels_3d=(0, 1),
+                              skip_levels_2d=(0,), Rb=16,
+                              pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
+                              sample_num_2d=256, v_ctx_cap=1 << 11),
+        train=dataclasses.replace(cfg.train, lmbda=2e-3,
+                                  rate_update_interval=2))
+    ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,
+                                  n_steps_gt=64)
+    entropy = driver.build_entropy(cfg)
+    tr = Trainer(cfg, ds, entropy=entropy)
+    snap = lambda: jax.tree.map(lambda x: np.asarray(x), tr.ent_params)
+    e0 = snap()
+    tr.fit(max_steps=0, log_every=0)            # step 0: rate runs
+    e1 = snap()
+    tr.fit(max_steps=1, log_every=0)            # step 1: rate skipped
+    e2 = snap()
+    changed01 = jax.tree_util.tree_reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), e0, e1))
+    changed12 = jax.tree_util.tree_reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), e1, e2))
+    assert changed01, "rate step 0 did not update entropy params"
+    assert not changed12, "skipped step still updated entropy params"
+    rgb, gt = tr.eval_image(0)
+    assert np.isfinite(float(M.psnr(rgb, gt)))
+
+
 def test_ssim_basics():
     a = jnp.ones((32, 32, 3)) * 0.5
     assert float(M.ssim(a, a)) > 0.99

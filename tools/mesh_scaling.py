@@ -12,6 +12,12 @@ sharded program partitions the work instead of replicating it.
 Each device count runs in a subprocess (the XLA host-device-count flag must
 be set before jax initializes).  Results append to stdout as one JSON line
 per count; run with no args to sweep {1, 2, 4, 8}.
+
+`mesh_scaling.py cost [counts]` reports per-device FLOPs of the compiled
+step executables instead of timing — on a host with fewer cores than
+virtual devices, wall-clock measures XLA's in-process collective rendezvous
+spin-waits rather than scaling, while compiled per-device FLOPs are
+timing-free evidence of partitioning (see cost()).
 """
 
 import json
@@ -22,6 +28,15 @@ import time
 
 
 def measure(n_dev: int) -> dict:
+    tr, cfg = _build(n_dev)
+    tr.fit(max_steps=3, log_every=0)           # compile + warm
+    t0 = time.time()
+    tr.fit(max_steps=11, log_every=0)
+    dt = (time.time() - t0) / 8
+    return {"n_devices": n_dev, "step_ms": round(dt * 1e3, 1)}
+
+
+def _build(n_dev):
     import dataclasses
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -35,8 +50,6 @@ def measure(n_dev: int) -> dict:
         jax.config.update("jax_platforms", "cpu")
         jax_backend.clear_backends()
         assert len(jax.devices()) >= n_dev, jax.devices()
-    import jax.numpy as jnp
-    import numpy as np
 
     from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
                                 RenderConfig, TrainConfig)
@@ -70,20 +83,57 @@ def measure(n_dev: int) -> dict:
     ds = scenes.ProceduralDataset("blocks", n_images=4, width=64, height=64,
                                   n_steps_gt=64)
     entropy = driver.build_entropy(cfg, n_dev)
-    tr = Trainer(cfg, ds, entropy=entropy, mesh=mesh)
-    tr.fit(max_steps=3, log_every=0)           # compile + warm
-    t0 = time.time()
-    tr.fit(max_steps=11, log_every=0)
-    dt = (time.time() - t0) / 8
-    return {"n_devices": n_dev, "step_ms": round(dt * 1e3, 1)}
+    return Trainer(cfg, ds, entropy=entropy, mesh=mesh), cfg
+
+
+def cost(n_dev: int) -> dict:
+    """Per-device FLOPs of the compiled step programs (AOT cost analysis).
+
+    On a single-core host, wall-clock over a virtual mesh measures XLA's
+    in-process collective rendezvous spin-waits, not scaling.  Per-device
+    FLOPs from the compiled executable are timing-free evidence that the
+    sharded programs PARTITION the work (ideal: flops(n) = flops(1)/n plus
+    collective overhead) instead of replicating it."""
+    tr, cfg = _build(n_dev)
+    import jax
+    import jax.numpy as jnp
+
+    bucket = 4096
+    tr.key, k = jax.random.split(tr.key)
+    rays, pixels = tr._fetch(bucket, k)
+    bkgd = jnp.ones((3,))
+    ent_cache = tr.entropy.init_cache()
+
+    def flops(fn, *args):
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", -1.0))
+
+    out = {"n_devices": n_dev}
+    out["render_grad_gflops_per_dev"] = round(flops(
+        tr._render_grad_fn(bucket), tr.params, tr.occ_state.binaries,
+        rays.origins, rays.viewdirs, pixels, bkgd, k) / 1e9, 3)
+    out["rate3d_gflops_per_dev"] = round(flops(
+        tr._rate3d_grad_fn(), tr.params, tr.ent_params, k, ent_cache,
+        tr.entropy.table_arrays) / 1e9, 3)
+    out["rate2d_gflops_per_dev"] = round(flops(
+        tr._rate2d_grad_fn(), tr.params, tr.ent_params, k, ent_cache,
+        tr.entropy.table_arrays) / 1e9, 3)
+    return out
 
 
 def main():
     if os.environ.get("CNC_MESH_N"):
         n = int(os.environ["CNC_MESH_N"])
-        print(json.dumps(measure(n)), flush=True)
+        fn = cost if os.environ.get("CNC_MESH_COST") else measure
+        print(json.dumps(fn(n)), flush=True)
         return
-    counts = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
+    argv = sys.argv[1:]
+    if argv and argv[0] == "cost":
+        os.environ["CNC_MESH_COST"] = "1"
+        argv = argv[1:]
+    counts = [int(x) for x in (argv[0].split(",") if argv
                                else ("1", "2", "4", "8"))]
     for n in counts:
         env = dict(os.environ)
