@@ -36,6 +36,12 @@ def main():
     parser.add_argument("--out_root", type=str, default=".")
     parser.add_argument("--multichip", action="store_true",
                         help="data-parallel training over all local devices")
+    parser.add_argument("--rate_update_interval", type=int, default=1,
+                        help="run the entropy rate gradients every K steps "
+                             "(1 = reference schedule)")
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="enable checkpoint/auto-resume at this path")
+    parser.add_argument("--checkpoint_every", type=int, default=1000)
     parser.add_argument("--decode_only", action="store_true",
                         help="rebuild the field from bitstreams/<scene>/ in "
                              "a fresh process, render the test set, report "
@@ -81,7 +87,10 @@ def main():
             Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D),
         render=render,
         train=dataclasses.replace(TrainConfig(), lmbda=args.lmbda,
-                                  max_steps=args.max_steps),
+                                  max_steps=args.max_steps,
+                                  rate_update_interval=args.rate_update_interval,
+                                  checkpoint_path=args.checkpoint_path,
+                                  checkpoint_every=args.checkpoint_every),
     )
     if args.decode_only:
         import jax.numpy as jnp
