@@ -54,12 +54,17 @@ def test_run_pipeline_end_to_end(tmp_path):
     assert np.isfinite(res.psnr) and res.psnr > 5.0
     # losslessness: decoding the bitstream reproduces the binarized tables the
     # pre-codec eval rendered with (driver :442-506) up to context coverage;
-    # PSNR must match to float noise
-    assert abs(res.psnr - res.psnr_codec) < 0.3, (res.psnr, res.psnr_codec)
+    # PSNR must match to float noise.  Measured delta at this config is
+    # 0.0000 dB at 40/150/300 steps (2026-08-17 probe); 0.05 is headroom
+    # for platform noise only — a real codec leak fails this.
+    assert abs(res.psnr - res.psnr_codec) < 0.05, (res.psnr, res.psnr_codec)
     assert res.embed_MB_codec > 0
-    # analytic rate estimate vs actually coded bytes (SURVEY §4 cross-check)
+    # analytic rate estimate vs actually coded bytes (SURVEY §4 cross-check).
+    # Measured 7.5-8% at 40-300 steps on this tiny config (clamped
+    # probabilities on a barely-trained model); trained flagship runs agree
+    # to ~1.5% (RESULTS.md).
     assert abs(res.embed_MB_est - res.embed_MB_codec) / res.embed_MB_codec \
-        < 0.35, (res.embed_MB_est, res.embed_MB_codec)
+        < 0.15, (res.embed_MB_est, res.embed_MB_codec)
     assert res.quant_results and np.isfinite(res.quant_results[0]["psnr"])
 
     # bitstream + self-contained bundle on disk
@@ -106,5 +111,7 @@ def test_run_pipeline_multichip(tmp_path):
                               max_eval_images=1, mesh=make_mesh(8),
                               log_fn=lambda *a: None)
     assert np.isfinite(res.psnr)
-    assert abs(res.psnr - res.psnr_codec) < 0.5, (res.psnr, res.psnr_codec)
+    # same 0.0000 dB measured delta as the single-device pipeline (the codec
+    # path is identical; only training is sharded)
+    assert abs(res.psnr - res.psnr_codec) < 0.05, (res.psnr, res.psnr_codec)
     assert res.embed_MB_codec > 0
