@@ -42,8 +42,10 @@ def test_roundtrip_lossless(setup):
     # analytic estimate and actual coded size agree (SURVEY §4 cross-check).
     # With untrained context models many probabilities sit at the clamp, where
     # the coder's 16-bit quantization caps the cost below the analytic
-    # -log2(1e-6); trained models agree to <1%.
-    assert abs(est_mb - actual_mb) / actual_mb < 0.25, (est_mb, actual_mb)
+    # -log2(1e-6); measured 18.75% on this fixture (2026-08-17).  Trained
+    # models agree far tighter — the pipeline test enforces 15% and the
+    # flagship hardware run measured 1.5% (RESULTS.md).
+    assert abs(est_mb - actual_mb) / actual_mb < 0.22, (est_mb, actual_mb)
 
     rec = cd.decode(ent_params, binaries, pgs, out_dir)
 
