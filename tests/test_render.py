@@ -63,6 +63,41 @@ class TestMarch:
         occb = np.asarray(marching.occupancy_lookup(pos, binaries, AABB))
         assert np.all(occb[val])
 
+    def test_sparse_march_complete_vs_dense_oracle(self):
+        """The two-phase coarse-cull march must return EXACTLY the dense
+        lattice's occupied samples (conservative culling drops nothing) when
+        no buffer truncates."""
+        binaries = occupancy_from_scene(SCENE, 64, RCFG.render_step_size)
+        poses = cameras.look_at_poses(2, radius=3.0)
+        K = jnp.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 64, 64)
+        o = np.asarray(rays.origins.reshape(-1, 3)[::31])
+        d = np.asarray(rays.viewdirs.reshape(-1, 3)[::31])
+        s = marching.march_rays(jnp.asarray(o), jnp.asarray(d), binaries,
+                                AABB, None, RCFG, 1 << 16)
+        assert not bool(s.truncated)
+        dt = RCFG.render_step_size
+        tmin, tmax = marching.ray_aabb_intersect(jnp.asarray(o),
+                                                 jnp.asarray(d), AABB)
+        tmin = np.maximum(np.asarray(tmin), RCFG.near_plane)
+        tmax = np.minimum(np.asarray(tmax), RCFG.far_plane)
+        # key samples by (ray, recovered lattice step index) — both sides
+        # derive t identically from tmin, so the index is rounding-stable
+        got = {(int(r), int(round((float(t) - tmin[int(r)]) / dt - 0.5)))
+               for r, t, v in zip(np.asarray(s.ray_id), np.asarray(s.t_mid),
+                                  np.asarray(s.valid)) if v}
+
+        # dense oracle: occupancy test at EVERY lattice midpoint
+        i = np.arange(RCFG.max_march_steps, dtype=np.float32)
+        t = tmin[:, None].astype(np.float32) + (i[None, :] + 0.5) * dt
+        pos = o[:, None, :] + d[:, None, :] * t[..., None]
+        occ = np.array(marching.occupancy_lookup(
+            jnp.asarray(pos), binaries, AABB))
+        occ &= t < tmax[:, None]
+        want = {(int(r), int(c)) for r, c in zip(*np.nonzero(occ))}
+        assert len(want) > 200
+        assert got == want
+
     def test_capacity_truncation(self):
         binaries = jnp.ones((64, 64, 64), bool)
         o = jnp.tile(jnp.array([[0.0, 0.0, -3.0]]), (4, 1))
