@@ -13,6 +13,8 @@ appended to the output file.
 
 Usage:  python tools/rd_sweep.py [--steps 200] [--scales 1.0,0.5,0.25]
         [--out /tmp/rd_sweep.jsonl]
+Tokens: "ng" prefix = ctx_grad off; "@K" suffix = rate_update_interval K
+        (e.g. "ng0.5@2" = half caps, no ctx grads, rate every 2nd step).
 """
 
 import argparse
@@ -23,7 +25,8 @@ import sys
 import time
 
 
-def run_one(scale: float, steps: int, ctx_grad: bool = True) -> dict:
+def run_one(scale: float, steps: int, ctx_grad: bool = True,
+            rate_interval: int = 1) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import dataclasses
@@ -48,7 +51,8 @@ def run_one(scale: float, steps: int, ctx_grad: bool = True) -> dict:
         render=RenderConfig(),
         train=dataclasses.replace(TrainConfig(), lmbda=2e-3,
                                   init_batch_size=4096,
-                                  min_ray_bucket=4096, max_ray_bucket=4096),
+                                  min_ray_bucket=4096, max_ray_bucket=4096,
+                                  rate_update_interval=rate_interval),
     )
     ds = scenes.ProceduralDataset("blocks", n_images=8, width=128, height=128,
                                   n_steps_gt=256)
@@ -70,7 +74,8 @@ def run_one(scale: float, steps: int, ctx_grad: bool = True) -> dict:
     bpp, mb = entropy.rate_estimate(
         tr.ent_params, tables, tr.occ_state.binaries,
         jax.random.PRNGKey(7), tr._last_ent_cache, entropy.table_arrays)
-    return {"scale": scale, "ctx_grad": ctx_grad, "steps": steps,
+    return {"scale": scale, "ctx_grad": ctx_grad,
+            "rate_interval": rate_interval, "steps": steps,
             "psnr": round(ev["psnr"], 3),
             "embed_MB": round(float(mb), 4),
             "bits_per_param": round(float(bpp), 4),
@@ -87,17 +92,25 @@ def main():
     if os.environ.get("CNC_SWEEP_SCALE"):
         r = run_one(float(os.environ["CNC_SWEEP_SCALE"]),
                     int(os.environ["CNC_SWEEP_STEPS"]),
-                    ctx_grad=os.environ.get("CNC_SWEEP_CTXGRAD", "1") == "1")
+                    ctx_grad=os.environ.get("CNC_SWEEP_CTXGRAD", "1") == "1",
+                    rate_interval=int(os.environ.get("CNC_SWEEP_RI", "1")))
         print(json.dumps(r), flush=True)
         return
 
-    # a scale prefixed "ng" additionally sets ctx_grad=False (e.g. "ng1.0")
+    # a scale prefixed "ng" additionally sets ctx_grad=False (e.g. "ng1.0");
+    # a "@K" suffix sets rate_update_interval=K (e.g. "1.0@2", "ng0.5@4")
     for tok in args.scales.split(","):
         ng = tok.startswith("ng")
-        s = float(tok[2:] if ng else tok)
+        tok = tok[2:] if ng else tok
+        ri = 1
+        if "@" in tok:
+            tok, ri_s = tok.split("@", 1)
+            ri = int(ri_s)
+        s = float(tok)
         env = dict(os.environ, CNC_SWEEP_SCALE=str(s),
                    CNC_SWEEP_STEPS=str(args.steps),
-                   CNC_SWEEP_CTXGRAD="0" if ng else "1")
+                   CNC_SWEEP_CTXGRAD="0" if ng else "1",
+                   CNC_SWEEP_RI=str(ri))
         print(f"=== scale {s} ===", file=sys.stderr, flush=True)
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
