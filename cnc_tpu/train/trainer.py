@@ -164,7 +164,11 @@ class Trainer:
         if fn is not None:
             return fn
         cfg = self.cfg
-        scale = cfg.train.lmbda / self.entropy.total_param_count
+        # rate grads apply every rate_update_interval-th step; scaling by the
+        # interval keeps the time-averaged rate pressure equal to the
+        # reference's every-step objective (train_CNC_nerf_synthetic.py:383)
+        scale = (cfg.train.lmbda * cfg.train.rate_update_interval
+                 / self.entropy.total_param_count)
 
         def loss(params, ent_params, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
@@ -183,7 +187,9 @@ class Trainer:
         if fn is not None:
             return fn
         cfg = self.cfg
-        scale = cfg.train.lmbda / self.entropy.total_param_count
+        # see _rate2d_grad_fn on the rate_update_interval factor
+        scale = (cfg.train.lmbda * cfg.train.rate_update_interval
+                 / self.entropy.total_param_count)
 
         def loss(params, ent_params, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
