@@ -34,7 +34,7 @@ import numpy as np
 from ..config import EntropyConfig
 from ..models.context_models import ContextModels
 from ..ops import entropy as ent_ops
-from . import coder
+from . import coder, intctx
 
 P_CLIP = 1e-6
 AXES = ("xy", "xz", "yz")
@@ -58,13 +58,19 @@ def _scatter_set_padded(rec: jnp.ndarray, idx: np.ndarray,
     f = sym.shape[1]
     idx_p = np.full((cap,), rec.shape[0], np.int32)
     idx_p[:n] = idx
-    sym_p = np.zeros((cap, f), np.float32)
+    sym_p = np.zeros((cap, f), rec.dtype)
     sym_p[:n] = sym
     return rec.at[jnp.asarray(idx_p)].set(jnp.asarray(sym_p), mode="drop")
 
 
 class CNCCodec:
-    """Host-orchestrated encoder/decoder over a ContextModels instance."""
+    """Host-orchestrated encoder/decoder over a ContextModels instance.
+
+    All per-entry probabilities run through the deterministic integer
+    pipeline (codec/intctx.py): the pool programs return int32 pooled sums,
+    and the uint16 coder probability is one int64 host division — identical
+    in every process and on every backend, which is what makes the
+    self-contained bundle decodable anywhere."""
 
     def __init__(self, ctx: ContextModels):
         self.ctx = ctx
@@ -90,6 +96,22 @@ class CNCCodec:
             n_chunks = int(np.ceil(t.n_entries / chunk_e))
             w = t.n_vertices if chunk_e >= t.n_entries else int(wins[i])
             self.chunks3d[l] = (chunk_e, n_chunks, w)
+        # per-level output shifts keeping the int32 pooled sums exact even
+        # for pathological hash buckets (vmax = largest vertex count of any
+        # single entry, read off the cum tables via a 1-entry window query)
+        vmax = np.asarray(ctx.max_window_pts(
+            [1] * (len(ctx.ctx_levels_3d) + len(ctx.ctx_levels_2d))))
+        self.m_shift3, self.m_scale3 = {}, {}
+        self.m_shift2, self.m_scale2 = {}, {}
+        for i, l in enumerate(ctx.ctx_levels_3d):
+            s = max(0, int(vmax[i]).bit_length() + intctx.OVL_BITS + 14 - 30)
+            self.m_shift3[l] = s
+            self.m_scale3[l] = intctx.M_SCALE >> s
+        for j, l in enumerate(ctx.ctx_levels_2d):
+            s = max(0, int(vmax[len(ctx.ctx_levels_3d) + j]).bit_length()
+                    + 14 - 30)
+            self.m_shift2[l] = s
+            self.m_scale2[l] = intctx.M_SCALE >> s
 
     # ------------------------------------------------------------- jit pool
     def _pool3d_fn(self, level):
@@ -98,8 +120,8 @@ class CNCCodec:
         if fn is None:
             chunk_e, _, w = self.chunks3d[level]
             fn = jax.jit(functools.partial(
-                self.ctx.pool_3d_level, level=level, n_e=chunk_e, w=w),
-                static_argnames=())
+                self.ctx.pool_3d_level_int, level=level, n_e=chunk_e, w=w,
+                m_shift=self.m_shift3[level]))
             self._jit_cache[key] = fn
         return fn
 
@@ -109,18 +131,21 @@ class CNCCodec:
         if fn is None:
             t = self.ctx.tables2d[level]
             fn = jax.jit(functools.partial(
-                self.ctx.pool_2d_level, level=level, n_e=t.n_entries,
-                w=t.n_points))
+                self.ctx.pool_2d_level_int, level=level, n_e=t.n_entries,
+                w=t.n_points, m_shift=self.m_shift2[level]))
             self._jit_cache[key] = fn
         return fn
 
     def _frac_fn(self):
         fn = self._jit_cache.get("frac")
         if fn is None:
-            fn = jax.jit(functools.partial(self.ctx.pn_frac_plane,
-                                           sample_cap=None))
+            fn = jax.jit(self.ctx.frac_plane_int)
             self._jit_cache["frac"] = fn
         return fn
+
+    def _int_params(self, ent_params):
+        return jax.tree.map(jnp.asarray,
+                            intctx.quantize_ctx_params(ent_params))
 
     @staticmethod
     def _level_pg(table, offset, size) -> np.ndarray:
@@ -129,21 +154,27 @@ class CNCCodec:
         return np.float32(pg)
 
     @staticmethod
-    def _analytic_bits(values: np.ndarray, p: np.ndarray) -> float:
-        p = np.clip(np.asarray(p, np.float64), P_CLIP, 1 - P_CLIP)
-        pos = np.asarray(values) > 0
-        return float(np.sum(np.where(pos, -np.log2(p), -np.log2(1 - p))))
+    def _analytic_bits(bits: np.ndarray, pq: np.ndarray) -> float:
+        p = np.clip(pq.astype(np.float64) / 65536.0, P_CLIP, 1 - P_CLIP)
+        return float(np.sum(np.where(bits > 0, -np.log2(p), -np.log2(1 - p))))
 
     # ---------------------------------------------------------------- encode
     def encode(self, ent_params, tables: Dict[str, jnp.ndarray],
                binaries: jnp.ndarray, out_dir: str, prefix: str = "b"):
-        """Write bitstreams; returns (pgs_dict, analytic_MB, actual_MB)."""
+        """Write bitstreams; returns (pgs_dict, analytic_MB, actual_MB).
+
+        Also writes `{prefix}_checks.json`: a sha256 per stream of the coded
+        symbol bits, so decode fails loudly on any desync instead of
+        silently rendering a corrupted field."""
         import concurrent.futures as _fut
+        import hashlib
 
         ctx = self.ctx
         os.makedirs(out_dir, exist_ok=True)
-        cache = ctx.refresh_cache(binaries)
+        cache = ctx.refresh_cache_int(binaries)
+        ip = self._int_params(ent_params)
         pgs: Dict[str, float] = {}
+        checks: Dict[str, str] = {}
         est_bits = 0.0
         actual_bits = 0
         # host-side range coding overlaps the next chunk's device compute
@@ -155,61 +186,71 @@ class CNCCodec:
         def path(name):
             return os.path.join(out_dir, f"{prefix}_{name}.b")
 
-        def _code_one(name, v, p):
-            stream = coder.encode_pm1(v, p)
+        def _code_one(name, bits, pq):
+            stream = coder.encode_bits(bits, pq)
             with open(path(name), "wb") as fh:
                 fh.write(stream)
-            return self._analytic_bits(v, p), len(stream) * 8
+            return (name, hashlib.sha256(bits.tobytes()).hexdigest(),
+                    self._analytic_bits(bits, pq), len(stream) * 8)
 
-        def write(name, values, p):
-            p = np.clip(np.asarray(p, np.float32).reshape(-1), P_CLIP,
-                        1 - P_CLIP)
-            v = np.asarray(values, np.float32).reshape(-1)
-            pending.append(pool.submit(_code_one, name, v, p))
+        def write(name, bits, pq):
+            pending.append(pool.submit(_code_one, name,
+                                       np.ascontiguousarray(bits, np.uint8),
+                                       pq))
+
+        def write_global(name, values, pg):
+            v = np.asarray(values).reshape(-1)
+            bits = (v > 0).astype(np.uint8)
+            pq = coder.quantize_probs(np.full(v.size, np.float64(pg)))
+            write(name, bits, pq)
 
         # --- 3D levels in order
-        tbl3 = tables["xyz"]
-        tbl3_np = np.asarray(tbl3)
+        tbl3_np = np.asarray(tables["xyz"])
+        sign3 = intctx.sign_table(tables["xyz"])
         for l in range(ctx.spec3.n_levels):
             off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
             pg = self._level_pg(tbl3_np, off, size)
             pgs[f"3D{l}"] = float(pg)
             if l in self.cfg.skip_levels_3d or l >= ctx.pg_level:
-                vals = tbl3_np[off:off + size]
-                write(f"3D{l}", vals, np.full(vals.size, pg))
+                write_global(f"3D{l}", tbl3_np[off:off + size], pg)
             else:
-                self._encode_ctx3d_level(ent_params, tbl3, cache, l,
-                                         jnp.float32(pg), write)
+                self._encode_ctx3d_level(ip, sign3, cache, l, float(pg),
+                                         write)
 
         # --- 2D planes (reference encodes planes with the trained finest 3D
         # level for the dimension-wise prior; identical to the decoded one)
         for ai, ax in enumerate(AXES):
-            tbl2 = tables[ax]
-            tbl2_np = np.asarray(tbl2)
-            frac = (self._frac_fn()(tbl3, cache["pn"][ax])
-                    if self.cfg.use_dimension_wise else None)
+            tbl2_np = np.asarray(tables[ax])
+            sign2 = intctx.sign_table(tables[ax])
+            plane_q = (self._frac_fn()(sign3, cache["pn"][ax])
+                       if self.cfg.use_dimension_wise else None)
             for l in range(ctx.spec2.n_levels):
                 off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
                 pg = self._level_pg(tbl2_np, off, size)
                 pgs[f"{ax}{l}"] = float(pg)
                 if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
-                    vals = tbl2_np[off:off + size]
-                    write(f"{ax}{l}", vals, np.full(vals.size, pg))
+                    write_global(f"{ax}{l}", tbl2_np[off:off + size], pg)
                 else:
-                    pooled, covered, values = self._pool2d_fn(l)(
-                        ent_params, tbl2, pg_n=jnp.float32(pg),
-                        frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        mask2d=cache["mask2d"][ai], start_e=jnp.int32(0),
+                    msum, cnt, covered, values = self._pool2d_fn(l)(
+                        ip, sign2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
+                        plane_q=plane_q, bin2d_ax=cache["bin2d"][ai],
+                        mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
-                    write(f"{ax}{l}", np.asarray(values)[cov],
-                          np.asarray(pooled)[cov])
+                    pq = intctx.host_pq(np.asarray(msum)[cov],
+                                        np.asarray(cnt)[cov],
+                                        self.m_scale2[l]).reshape(-1)
+                    bits = (np.asarray(values)[cov] > 0).reshape(-1)
+                    write(f"{ax}{l}", bits, pq)
 
         for fut in pending:
-            eb, ab = fut.result()
+            name, digest, eb, ab = fut.result()
+            checks[name] = digest
             est_bits += eb
             actual_bits += ab
         pool.shutdown()
+        with open(os.path.join(out_dir, f"{prefix}_checks.json"), "w") as fh:
+            json.dump(checks, fh, indent=0)
         return pgs, est_bits / 8 / 1024 / 1024, actual_bits / 8 / 1024 / 1024
 
     def _chunk_bounds(self, level):
@@ -224,91 +265,127 @@ class CNCCodec:
                                               t.n_entries - chunk_e)))
         return out
 
-    def _encode_ctx3d_level(self, ent_params, tbl3, cache, level, pg, write):
+    def _encode_ctx3d_level(self, ip, sign3, cache, level, pg, write):
         """Full-coverage encode of one context level, chunked.
 
         Device programs for ALL chunks are dispatched before any host pull
         (async dispatch keeps the accelerator busy while earlier chunks
         convert + range-code on host threads) — the round-1 version
         serialized dispatch -> pull -> code per chunk."""
-        ctx = self.ctx
         _, n_chunks, _ = self.chunks3d[level]
         fn = self._pool3d_fn(level)
+        pg_q = jnp.int32(intctx.quantize_pg(pg))
         outs = []
         for c, (want_lo, want_hi, start) in enumerate(
                 self._chunk_bounds(level)):
-            outs.append(fn(ent_params, tbl3, cache, pg_n=pg,
+            outs.append(fn(ip, sign3, cache, pg_q=pg_q,
                            start_e=jnp.int32(start),
                            tbls=self.ctx.table_arrays))
-        for c, ((want_lo, want_hi, start), (pooled, covered, values)) in \
+        for c, ((want_lo, want_hi, start), (msum, wsum, covered, values)) in \
                 enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
-            vals = np.asarray(values)[sl][cov]
-            ps = np.asarray(pooled)[sl][cov]
+            bits = (np.asarray(values)[sl][cov] > 0).reshape(-1)
+            pq = intctx.host_pq(np.asarray(msum)[sl][cov],
+                                np.asarray(wsum)[sl][cov],
+                                self.m_scale3[level]).reshape(-1)
             suffix = f"3D{level}_{c}" if n_chunks > 1 else f"3D{level}"
-            write(suffix, vals, ps)
+            write(suffix, bits, pq)
 
     # ---------------------------------------------------------------- decode
     def decode(self, ent_params, binaries: jnp.ndarray,
                pgs: Dict[str, float], in_dir: str, prefix: str = "b"
                ) -> Dict[str, jnp.ndarray]:
-        """Reconstruct all four tables from the bitstreams (lossless)."""
+        """Reconstruct all four tables from the bitstreams (lossless).
+
+        Every decoded stream's symbol bits are checked against the sha256
+        recorded at encode time ({prefix}_checks.json); any mismatch raises
+        — a desynced range decode must never silently ship."""
+        import hashlib
+
         ctx = self.ctx
-        cache = ctx.refresh_cache(binaries)
+        cache = ctx.refresh_cache_int(binaries)
+        ip = self._int_params(ent_params)
+        checks_path = os.path.join(in_dir, f"{prefix}_checks.json")
+        if not os.path.exists(checks_path):
+            raise FileNotFoundError(
+                f"{checks_path} missing: this bitstream directory predates "
+                "the integer codec (round 3) or is incomplete — re-encode "
+                "with the current codec; decoding without checksums could "
+                "silently ship a desynced reconstruction")
+        with open(checks_path) as fh:
+            checks = json.load(fh)
+        bad: List[str] = []
 
         def read(name):
             with open(os.path.join(in_dir, f"{prefix}_{name}.b"), "rb") as fh:
                 return fh.read()
 
+        def verify(name, bits):
+            want = checks.get(name)
+            if want is not None and hashlib.sha256(
+                    np.ascontiguousarray(bits, np.uint8).tobytes()
+            ).hexdigest() != want:
+                bad.append(name)
+
+        def decode_global(name, size, pg):
+            pq = coder.quantize_probs(np.full(size, np.float64(pg)))
+            bits = coder.decode_bits(read(name), pq)
+            verify(name, bits)
+            return bits.astype(np.int32) * 2 - 1
+
         f = self.cfg.n_features
-        rec3 = jnp.ones((ctx.spec3.total_entries, f), jnp.float32)
+        rec3 = jnp.ones((ctx.spec3.total_entries, f), jnp.int32)
         for l in range(ctx.spec3.n_levels):
             off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
-            pg = np.float32(pgs[f"3D{l}"])
+            pg = float(pgs[f"3D{l}"])
             if l in self.cfg.skip_levels_3d or l >= ctx.pg_level:
-                sym = coder.decode_pm1(read(f"3D{l}"),
-                                       np.full(size * f, np.clip(pg, P_CLIP,
-                                                                 1 - P_CLIP)))
+                sym = decode_global(f"3D{l}", size * f, pg)
                 rec3 = rec3.at[off:off + size].set(
                     jnp.asarray(sym.reshape(size, f)))
             else:
-                rec3 = self._decode_ctx3d_level(ent_params, rec3, cache, l,
-                                                jnp.float32(pg), read)
+                rec3 = self._decode_ctx3d_level(ip, rec3, cache, l, pg, read,
+                                                verify)
 
         recs = {"xyz": rec3}
         for ai, ax in enumerate(AXES):
-            rec2 = jnp.ones((ctx.spec2.total_entries, f), jnp.float32)
-            frac = (self._frac_fn()(rec3, cache["pn"][ax])
-                    if self.cfg.use_dimension_wise else None)
+            rec2 = jnp.ones((ctx.spec2.total_entries, f), jnp.int32)
+            plane_q = (self._frac_fn()(rec3, cache["pn"][ax])
+                       if self.cfg.use_dimension_wise else None)
             for l in range(ctx.spec2.n_levels):
                 off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
-                pg = np.float32(pgs[f"{ax}{l}"])
+                pg = float(pgs[f"{ax}{l}"])
                 if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
-                    sym = coder.decode_pm1(
-                        read(f"{ax}{l}"),
-                        np.full(size * f, np.clip(pg, P_CLIP, 1 - P_CLIP)))
+                    sym = decode_global(f"{ax}{l}", size * f, pg)
                     rec2 = rec2.at[off:off + size].set(
                         jnp.asarray(sym.reshape(size, f)))
                 else:
                     t = ctx.tables2d[l]
-                    pooled, covered, _ = self._pool2d_fn(l)(
-                        ent_params, rec2, pg_n=jnp.float32(pg),
-                        frac_plane=frac, bin2d=cache["bin2d"][ai],
-                        mask2d=cache["mask2d"][ai], start_e=jnp.int32(0),
+                    msum, cnt, covered, _ = self._pool2d_fn(l)(
+                        ip, rec2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
+                        plane_q=plane_q, bin2d_ax=cache["bin2d"][ai],
+                        mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
-                    ps = np.clip(np.asarray(pooled)[cov].reshape(-1),
-                                 P_CLIP, 1 - P_CLIP)
-                    sym = coder.decode_pm1(read(f"{ax}{l}"), ps)
-                    sym = sym.reshape(-1, f)
+                    pq = intctx.host_pq(np.asarray(msum)[cov],
+                                        np.asarray(cnt)[cov],
+                                        self.m_scale2[l]).reshape(-1)
+                    name = f"{ax}{l}"
+                    bits = coder.decode_bits(read(name), pq)
+                    verify(name, bits)
+                    sym = (bits.astype(np.int32) * 2 - 1).reshape(-1, f)
                     idx = t.offset + ctx.entry_values_np("2d", l)[cov]
-                    rec2 = _scatter_set_padded(rec2, idx,
-                                               sym.astype(np.float32))
+                    rec2 = _scatter_set_padded(rec2, idx, sym)
             recs[ax] = rec2
-        return recs
+        if bad:
+            raise ValueError(
+                f"codec desync: decoded symbols of stream(s) {sorted(bad)} "
+                "do not match the checksums recorded at encode time — the "
+                "bitstream directory is corrupt or was written by an "
+                "incompatible codec version")
+        return {k: v.astype(jnp.float32) for k, v in recs.items()}
 
-    def _decode_ctx3d_level(self, ent_params, rec3, cache, level, pg, read):
+    def _decode_ctx3d_level(self, ip, rec3, cache, level, pg, read, verify):
         """Decode one context level.
 
         The level->level dependency is strict (context reads already-decoded
@@ -321,27 +398,29 @@ class CNCCodec:
         f = self.cfg.n_features
         _, n_chunks, _ = self.chunks3d[level]
         fn = self._pool3d_fn(level)
+        pg_q = jnp.int32(intctx.quantize_pg(pg))
         evals = ctx.entry_values_np("3d", level)
         outs = []
         for (want_lo, want_hi, start) in self._chunk_bounds(level):
-            outs.append(fn(ent_params, rec3, cache, pg_n=pg,
+            outs.append(fn(ip, rec3, cache, pg_q=pg_q,
                            start_e=jnp.int32(start),
                            tbls=self.ctx.table_arrays))
         idx_all, sym_all = [], []
-        for c, ((want_lo, want_hi, start), (pooled, covered, _)) in \
+        for c, ((want_lo, want_hi, start), (msum, wsum, covered, _)) in \
                 enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
-            ps = np.clip(np.asarray(pooled)[sl][cov].reshape(-1),
-                         P_CLIP, 1 - P_CLIP)
+            pq = intctx.host_pq(np.asarray(msum)[sl][cov],
+                                np.asarray(wsum)[sl][cov],
+                                self.m_scale3[level]).reshape(-1)
             suffix = f"3D{level}_{c}" if n_chunks > 1 else f"3D{level}"
-            sym = coder.decode_pm1(read(suffix), ps).reshape(-1, f)
+            bits = coder.decode_bits(read(suffix), pq)
+            verify(suffix, bits)
             idx_all.append(t.offset + evals[want_lo:want_hi][cov])
-            sym_all.append(sym)
+            sym_all.append((bits.astype(np.int32) * 2 - 1).reshape(-1, f))
         if idx_all:
             rec3 = _scatter_set_padded(rec3, np.concatenate(idx_all),
-                                       np.concatenate(sym_all,
-                                                      dtype=np.float32))
+                                       np.concatenate(sym_all))
         return rec3
 
 

@@ -188,11 +188,9 @@ class RenderConfig:
     near_plane: float = 0.0
     far_plane: float = 1e10
     render_step_size: float = 5e-3
-    alpha_thre: float = 0.0
-    cone_angle: float = 0.0
+    alpha_thre: float = 0.0    # CNC drivers pin 0 (tank_temples.py:186)
     early_stop_eps: float = 1e-4
     occ_resolution: int = 128
-    occ_num_levels: int = 1
     occ_thre: float = 1e-2
     occ_ema_decay: float = 0.95
     occ_warmup_steps: int = 256
@@ -202,7 +200,7 @@ class RenderConfig:
     sample_budget_slack: float = 1.25     # buffer capacity = budget * slack
     march_block: int = 64                 # steps marched per compaction block
     eval_chunk_rays: int = 8192
-    eval_samples_per_iter: int = 32
+    eval_samples_per_iter: int = 8    # per-round budget = chunk_rays * this
     eval_max_iters: int = 1024
 
     @property

@@ -250,9 +250,19 @@ class ContextModels:
         plans = self._level_plans()
         rb = self.rb
         kb = self._KEY_BASE
+        # level-tagged keys o*kb+idx must stay distinct across levels and
+        # within int32 (ADVICE r2: a log2_hashmap_size >= 20 config would
+        # silently overlap adjacent levels' key ranges)
+        max_idx = max((p["tbl"] for p in plans), default=0)
+        assert max_idx <= kb, (
+            f"level table size {max_idx} exceeds sort-key base {kb}; raise "
+            "ContextModels._KEY_BASE")
+        n_sort = sum(1 for p in plans if not p["dense"])
+        assert n_sort * kb + max_idx < 2 ** 31, "sort keys overflow int32"
 
         # ---- sort members: hashed 3D + all 2D, one level-tagged key space
         keys, locs = [], []
+        inv_maps = {}
         sort_plans = [p for p in plans if not p["dense"]]
         for o, p in enumerate(sort_plans):
             ids = jnp.arange(p["v"], dtype=jnp.int32)
@@ -264,6 +274,19 @@ class ContextModels:
                 x, y, _ = self._coords_2d(ids, p["tile"], rb)
                 coords = jnp.stack([x, y], -1)
             idx = hash_ops.grid_index(coords, p["r"], p["tbl"])
+            if p["kind"] == "2d":
+                # shuffle the entry ORDER so sampled entry windows aren't
+                # raster slabs on dense 2D levels (the reference shuffles
+                # its non-colliding levels for the same reason,
+                # utils_bpp_acc.py:311-315); fixed threefry key => every
+                # process/backend rebuilds the same order
+                perm = jax.random.permutation(
+                    jax.random.PRNGKey(4321 + p["level"]),
+                    p["tbl"]).astype(jnp.int32)
+                inv_maps[o] = jnp.zeros((p["tbl"],), jnp.int32).at[perm].set(
+                    jnp.arange(p["tbl"], dtype=jnp.int32),
+                    unique_indices=True)
+                idx = perm[idx]
             keys.append(jnp.int32(o * kb) + idx)
             locs.append(ids)
         out3 = {"pos_flat": [], "vert_entry": [], "entry_values": [],
@@ -294,6 +317,8 @@ class ContextModels:
                 values = jnp.zeros((e_max,), jnp.int32).at[
                     jnp.where(head_l, ords, e_max)].set(
                         idx_l, mode="drop", unique_indices=True)
+                if o in inv_maps:   # un-shuffle back to real table indices
+                    values = inv_maps[o][values]
                 n_e = hc[off + v - 1] - hc[off] + 1
                 sorted_parts[(p["kind"], p["level"])] = dict(
                     loc=sloc[sl], vert_entry=ords, values=values, cum=cum,
@@ -969,6 +994,147 @@ class ContextModels:
         covered = wsum > 0
         values_q = tbl3[t.offset + evals]
         return pooled, covered, values_q
+
+    # --------------------------------------- deterministic int codec path
+    # Integer twins of refresh_cache / pool_3d_level / pool_2d_level /
+    # pn_frac_plane used by the codec (codec/intctx.py docstring): every
+    # arithmetic step is exact int32, so encode and decode compute
+    # bit-identical probabilities in ANY process on ANY backend — the
+    # property the self-contained bundle needs and the reference never had
+    # (it reuses one process's in-memory probabilities, utils_bpp_acc.py:
+    # 81-110).
+    def refresh_cache_int(self, binaries: jnp.ndarray) -> Dict:
+        fn = getattr(self, "_refresh_int_jit", None)
+        if fn is None:
+            fn = jax.jit(self._refresh_codec_impl)
+            self._refresh_int_jit = fn
+        return fn(binaries)
+
+    def _refresh_codec_impl(self, binaries):
+        from ..codec import intctx
+
+        cache = {}
+        bin2d = jnp.stack([jnp.any(binaries, axis=2),
+                           jnp.any(binaries, axis=1),
+                           jnp.any(binaries, axis=0)])
+        cache["bin2d"] = bin2d
+        rb = self.rb
+        m3 = []
+        cache["ovl_int"] = {}
+        for l in range(self.spec3.n_levels):
+            r = self.spec3.resolutions[l]
+            m3.append(_dense_mask_grid(binaries, r, rb).reshape(-1))
+            if l in self.ctx_levels_3d:
+                cache["ovl_int"][str(l)] = intctx.int_overlap_grid(
+                    binaries, r, rb)
+        cache["mask3d"] = jnp.concatenate(m3)
+        m2 = []
+        for ai in range(3):
+            m2.append(jnp.concatenate(
+                [_dense_mask_grid(bin2d[ai], r, rb).reshape(-1)
+                 for r in self.mask2d_resolutions]))
+        cache["mask2d"] = jnp.stack(m2)
+        cache["pn"] = self._refresh_pn_coords(binaries)
+        return cache
+
+    def _ctx_levels_meta(self, spec, mask_offsets, lo: int, hi: int):
+        return [(spec.resolutions[lc], spec.offsets[lc],
+                 spec.offsets[lc + 1] - spec.offsets[lc], mask_offsets[lc])
+                for lc in range(lo, hi)]
+
+    def pool_3d_level_int(self, int_params, sign3, cache_i, level, pg_q,
+                          start_e, n_e, w, m_shift,
+                          tbls: Optional[Dict] = None):
+        """Integer pool_3d_level: returns (msum [n_e,F] int32, wsum [n_e]
+        int32, covered, values [n_e,F] int32 +-1); the caller derives the
+        uint16 coder probability as floor(msum*65536 / (wsum*m_scale))."""
+        from ..codec import intctx
+
+        cfg = self.cfg
+        t = self.tables3d[level]
+        a = (self.table_arrays if tbls is None else tbls)["3d"]
+        r = t.resolution
+        start_v = a["cum"][t.c_off + start_e]
+        end_v = a["cum"][t.c_off + start_e + n_e]
+        pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,), (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
+                                      (w,)) - start_e
+        valid = jnp.arange(w) < (end_v - start_v)
+        evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
+                                      (n_e,))
+        mask = cache_i["mask3d"][self.mask3d_offsets[level] + pos] & valid
+        coords = jnp.stack([pos // (r * r), (pos // r) % r, pos % r],
+                           -1).astype(jnp.int32)
+        k = cfg.max_context_layer_num
+        levels = self._ctx_levels_meta(self.spec3, self.mask3d_offsets,
+                                       level - k, level)
+        feats = intctx.int_encode_levels(coords, r, sign3, levels,
+                                         cache_i["mask3d"])
+        x = jnp.concatenate(
+            [feats, jnp.broadcast_to(pg_q[None, None], (w, 1))], -1)
+        mean = intctx.int_apply_ctx3d(int_params["ctx3d"], x)
+        mean = mean // (1 << m_shift)
+        slots = jnp.clip(slots, 0, n_e - 1)
+        if cfg.use_overlap_area_pool:
+            ovl_w = cache_i["ovl_int"][str(level)][pos]
+            wgt = jnp.where(mask, jnp.maximum(ovl_w, 1), 0)
+        else:
+            wgt = jnp.where(mask, 1, 0)
+        msum = intctx.segment_sum_int(mean * wgt[:, None], slots, valid, n_e)
+        wsum = intctx.segment_sum_int(wgt, slots, valid, n_e)
+        covered = wsum > 0
+        values = jnp.take(sign3, t.offset + evals, axis=0)
+        return msum, wsum, covered, values
+
+    def pool_2d_level_int(self, int_params, sign2, level, pg_q, plane_q,
+                          bin2d_ax, mask2d_ax, start_e, n_e, w, m_shift,
+                          tbls: Optional[Dict] = None):
+        """Integer pool_2d_level (full coverage; count pooling like the
+        float twin).  plane_q: int dimension-wise prior plane or None."""
+        from ..codec import intctx
+
+        cfg = self.cfg
+        t = self.tables2d[level]
+        a = (self.table_arrays if tbls is None else tbls)["2d"]
+        start_v = a["cum"][t.c_off + start_e]
+        end_v = a["cum"][t.c_off + start_e + n_e]
+        coords = jax.lax.dynamic_slice(a["coords"], (t.v_off + start_v,), (w,))
+        blocks = jax.lax.dynamic_slice(a["block_id"], (t.v_off + start_v,),
+                                       (w,))
+        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
+                                      (w,)) - start_e
+        valid = jnp.arange(w) < (end_v - start_v)
+        evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
+                                      (n_e,))
+        occ_block = bin2d_ax.reshape(-1)[blocks] & valid
+        cint = jnp.stack([coords >> 16, coords & 0xFFFF], -1).astype(jnp.int32)
+        cln = min(level, cfg.max_context_layer_num)
+        levels = self._ctx_levels_meta(self.spec2, self.mask2d_offsets,
+                                       level - cln, level)
+        feats = intctx.int_encode_levels(cint, t.resolution, sign2, levels,
+                                         mask2d_ax)
+        parts = [feats]
+        if plane_q is not None:
+            parts.append(intctx.int_encode_plane(
+                cint, t.resolution, plane_q, self.pn_res, mask2d_ax,
+                self.pn_mask_offset))
+        parts.append(jnp.broadcast_to(pg_q[None, None], (w, 1)))
+        mean = intctx.int_apply_ctx2d(int_params["ctx2d"], level,
+                                      jnp.concatenate(parts, -1))
+        mean = mean // (1 << m_shift)
+        slots = jnp.clip(slots, 0, n_e - 1)
+        cnt = intctx.segment_sum_int(occ_block.astype(jnp.int32), slots,
+                                     jnp.ones_like(occ_block), n_e)
+        msum = intctx.segment_sum_int(mean, slots, occ_block, n_e)
+        covered = cnt > 0
+        values = jnp.take(sign2, t.offset + evals, axis=0)
+        return msum, cnt, covered, values
+
+    def frac_plane_int(self, sign3: jnp.ndarray, pn_ax: Dict) -> jnp.ndarray:
+        from ..codec import intctx
+
+        return intctx.int_frac_plane(sign3, pn_ax, self.fine_offset,
+                                     self.pn_res, self.cfg.n_features)
 
     # ------------------------------------------------------- 3D level bits
     def _bits_3d_sampled(self, ent_params, tbl3, pg_by_level, cache, key,

@@ -179,7 +179,10 @@ def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     tf = tmin[c_ray][:, None] + (step_f + 0.5) * dt
     posf = rays_o[c_ray][:, None, :] + rays_d[c_ray][:, None, :] * tf[..., None]
     bits = occupancy_lookup(posf, binaries, aabb)
-    bits = bits & (tf < tmax[c_ray][:, None]) & cvalid[:, None]
+    # step_f < s: the last coarse block tests up to B-1 lattice steps past
+    # the requested budget when B does not divide max_steps (ADVICE r2)
+    bits = (bits & (tf < tmax[c_ray][:, None]) & cvalid[:, None]
+            & (step_f < s))
 
     src_f, total_f = scatter_ops.compact_mask_indices(bits.reshape(-1),
                                                       capacity)

@@ -36,21 +36,29 @@ def render_rays_train(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
     pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
     rgbs, sigmas = rf.forward(params, mcfg, aabb, pos, dirs, tables=tables)
     return volrend.composite(rgbs, sigmas, samples, rays_o.shape[0],
-                             render_bkgd, rcfg.early_stop_eps)
+                             render_bkgd, rcfg.early_stop_eps,
+                             alpha_thre=rcfg.alpha_thre)
 
 
 def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
                      aabb: jnp.ndarray, binaries: jnp.ndarray,
                      rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                      render_bkgd: jnp.ndarray,
-                     round_capacity: int = 65536,
-                     max_rounds: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                    jnp.ndarray]:
+                     round_capacity: Optional[int] = None,
+                     max_rounds: Optional[int] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Iterative exact eval renderer for one ray chunk.
 
+    The per-round budget mirrors the reference test renderer's
+    alive-rays x samples-per-iter sizing (utils.py:395-479): R rays x
+    rcfg.eval_samples_per_iter samples, up to rcfg.eval_max_iters rounds.
     Returns (rgb [R,3], opacity [R,1], depth [R,1]).
     """
     r = rays_o.shape[0]
+    if round_capacity is None:
+        round_capacity = r * rcfg.eval_samples_per_iter
+    if max_rounds is None:
+        max_rounds = rcfg.eval_max_iters
     tables = rf.quantized_tables(params, mcfg)
     opc_thre = 1.0 - rcfg.early_stop_eps
     # hoisted out of the while_loop body (loop-invariant)
@@ -70,7 +78,8 @@ def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         out = volrend.composite(rgbs, sigmas, samples, r,
                                 render_bkgd=None,
                                 early_stop_eps=rcfg.early_stop_eps,
-                                prefix_trans=1.0 - opacity[:, 0])
+                                prefix_trans=1.0 - opacity[:, 0],
+                                alpha_thre=rcfg.alpha_thre)
         rgb = rgb + out.rgb
         opacity = opacity + out.opacity
         depth = depth + out.depth

@@ -38,19 +38,27 @@ class RenderedRays(NamedTuple):
 
 def render_weights(sigmas: jnp.ndarray, samples: RaySamples,
                    early_stop_eps: float = 1e-4,
-                   prefix_trans: Optional[jnp.ndarray] = None
+                   prefix_trans: Optional[jnp.ndarray] = None,
+                   alpha_thre: float = 0.0
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-sample rendering weights, transmittance, alpha.
 
     prefix_trans: optional [R] carried transmittance (iterative eval renderer,
     utils.py:440 `prefix_trans = 1 - opacity`).
+    alpha_thre: samples with alpha below the threshold are skipped entirely
+    (nerfacc's alpha_thre culling, volrend.py/grid.cu — the CNC drivers pin
+    it to 0, train_CNC_tank_temples.py:186).
     """
     sdt = jnp.where(samples.valid, sigmas * samples.dt, 0.0)
+    alpha = 1.0 - jnp.exp(-sdt)
+    if alpha_thre > 0.0:
+        keep = alpha >= alpha_thre
+        sdt = jnp.where(keep, sdt, 0.0)
+        alpha = jnp.where(keep, alpha, 0.0)
     prefix = scan_ops.segment_exclusive_sum(sdt, samples.ray_id)
     trans = jnp.exp(-prefix)
     if prefix_trans is not None:
         trans = trans * prefix_trans[samples.ray_id]
-    alpha = 1.0 - jnp.exp(-sdt)
     visible = (trans >= early_stop_eps) & samples.valid
     weights = jnp.where(visible, trans * alpha, 0.0)
     return weights, trans, visible
@@ -59,10 +67,11 @@ def render_weights(sigmas: jnp.ndarray, samples: RaySamples,
 def composite(rgbs: jnp.ndarray, sigmas: jnp.ndarray, samples: RaySamples,
               n_rays: int, render_bkgd: Optional[jnp.ndarray] = None,
               early_stop_eps: float = 1e-4,
-              prefix_trans: Optional[jnp.ndarray] = None) -> RenderedRays:
+              prefix_trans: Optional[jnp.ndarray] = None,
+              alpha_thre: float = 0.0) -> RenderedRays:
     """Full compositing pass (nerfacc `rendering`, volrend.py:14-160)."""
     weights, _, visible = render_weights(sigmas, samples, early_stop_eps,
-                                         prefix_trans)
+                                         prefix_trans, alpha_thre)
     seg = samples.ray_id
     rgb = jax.ops.segment_sum(weights[:, None] * rgbs, seg,
                               num_segments=n_rays, indices_are_sorted=True)

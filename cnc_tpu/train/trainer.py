@@ -39,9 +39,11 @@ def _next_bucket(n: int, lo: int, hi: int, multiple: int = 1) -> int:
     while b < n and b < hi:
         b *= 2
     b = min(b, hi)
-    # shard_map requires the ray batch divisible by the mesh size; round up
-    # so non-power-of-two device counts don't fault mid-training
-    return -(-b // multiple) * multiple
+    # shard_map requires the ray batch divisible by the mesh size; round
+    # DOWN so the bucket never exceeds hi (a pinned min==max bucket must
+    # stay pinned — bench.py relies on it; ADVICE r2), but never below the
+    # mesh size itself
+    return max(b // multiple, 1) * multiple
 
 
 class Trainer:
@@ -295,7 +297,9 @@ class Trainer:
         use_entropy = self.entropy is not None and cfg.train.lmbda > 0
         bucket = _next_bucket(self.num_rays, cfg.train.min_ray_bucket,
                               cfg.train.max_ray_bucket, self.n_dev)
-        self.key, k = jax.random.split(self.key)
+        # throwaway key: warm_compile must not advance the training PRNG
+        # stream (its docstring promises no trainer state changes; ADVICE r2)
+        k = jax.random.fold_in(self.key, 0x5A5A)
         tic = time.time()
         rays, pixels = self._fetch(bucket, k)  # compiles the fetch program
         bkgd = jnp.ones((3,))

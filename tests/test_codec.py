@@ -49,7 +49,11 @@ def test_roundtrip_lossless(setup):
 
     rec = cd.decode(ent_params, binaries, pgs, out_dir)
 
-    cache = ctx.refresh_cache(binaries)
+    from cnc_tpu.codec import intctx
+
+    cache = ctx.refresh_cache_int(binaries)
+    ip = cd._int_params(ent_params)
+    sign3 = intctx.sign_table(tables["xyz"])
     # 3D: skip levels must match exactly; context levels match on covered
     # entries and are +1 elsewhere
     tbl3 = np.asarray(tables["xyz"])
@@ -66,9 +70,9 @@ def test_roundtrip_lossless(setup):
                 lo = c * chunk_e
                 hi = min((c + 1) * chunk_e, t.n_entries)
                 start = min(lo, t.n_entries - chunk_e)
-                pooled, covered, _ = cd._pool3d_fn(l)(
-                    ent_params, tables["xyz"], cache,
-                    pg_n=jnp.float32(pgs[f"3D{l}"]),
+                _, _, covered, _ = cd._pool3d_fn(l)(
+                    ip, sign3, cache,
+                    pg_q=jnp.int32(intctx.quantize_pg(pgs[f"3D{l}"])),
                     start_e=jnp.int32(start))
                 cov = np.asarray(covered)[lo - start:hi - start]
                 evals = ctx.entry_values_np("3d", l)[lo:hi]
@@ -90,17 +94,15 @@ def test_roundtrip_lossless(setup):
 
 def test_decode_needs_matching_occupancy(setup):
     """Context depends on the occupancy prior: decoding with a different
-    binary grid must corrupt context-level entries."""
+    binary grid desyncs the range coder — and the checksum recorded at
+    encode time must catch it LOUDLY (ADVICE r2: a silent desync can
+    corrupt decoded tables arbitrarily)."""
     ctx, ent_params, tables, binaries, out_dir = setup
     cd = codec_mod.CNCCodec(ctx)
     pgs, _, _ = cd.encode(ent_params, tables, binaries, out_dir)
     wrong = jnp.zeros_like(binaries).at[0, 0, 0].set(True)
-    rec = cd.decode(ent_params, wrong, pgs, out_dir)
-    tbl3 = np.asarray(tables["xyz"])
-    rec3 = np.asarray(rec["xyz"])
-    l = ctx.ctx_levels_3d[-1]
-    off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
-    assert not np.array_equal(rec3[off:off + size], tbl3[off:off + size])
+    with pytest.raises(ValueError, match="codec desync"):
+        cd.decode(ent_params, wrong, pgs, out_dir)
 
 
 def test_bundle_roundtrip(setup, tmp_path):
