@@ -52,3 +52,31 @@ class TestLpips:
         w = lpips_jax.load_weights()
         assert w is not None and "conv12_w" in w
         lpips_jax.load_weights.cache_clear()
+
+    def test_golden_parity(self):
+        """Numeric parity against pip `lpips` (VERDICT r2 #8).
+
+        Activates when BOTH real VGG weights (data/lpips_vgg16.npz via
+        tools/export_lpips_weights.py) and the golden file
+        (tests/golden/lpips_golden.npz via tools/make_lpips_golden.py) are
+        present; neither can be generated in this zero-egress environment,
+        so the test skips here and runs wherever the artifacts are dropped.
+        """
+        import os
+        import pathlib
+
+        golden_path = pathlib.Path(__file__).parent / "golden" / \
+            "lpips_golden.npz"
+        if not golden_path.exists():
+            pytest.skip("golden file not generated (needs pip lpips off-env)")
+        lpips_jax.load_weights.cache_clear()
+        w = lpips_jax.load_weights()
+        if w is None or os.environ.get("CNC_LPIPS_WEIGHTS"):
+            lpips_jax.load_weights.cache_clear()
+            if w is None:
+                pytest.skip("real VGG16 weights not present")
+        g = np.load(golden_path)
+        d = float(lpips_jax.lpips(g["img_a"], g["img_b"], weights=w))
+        d_self = float(lpips_jax.lpips(g["img_a"], g["img_a"], weights=w))
+        assert d == pytest.approx(float(g["distance"]), rel=1e-3)
+        assert d_self == pytest.approx(float(g["distance_self"]), abs=1e-5)
