@@ -160,18 +160,24 @@ class CNCCodec:
 
     # ---------------------------------------------------------------- encode
     def encode(self, ent_params, tables: Dict[str, jnp.ndarray],
-               binaries: jnp.ndarray, out_dir: str, prefix: str = "b"):
+               binaries: jnp.ndarray, out_dir: str, prefix: str = "b",
+               cache=None):
         """Write bitstreams; returns (pgs_dict, analytic_MB, actual_MB).
 
         Also writes `{prefix}_checks.json`: a sha256 per stream of the coded
         symbol bits, so decode fails loudly on any desync instead of
-        silently rendering a corrupted field."""
+        silently rendering a corrupted field.
+
+        `cache`: a precomputed refresh_cache_int(binaries) — pass it when
+        encode and decode run back-to-back on the same occupancy (the
+        pipeline self-check) to skip the second multi-second rebuild."""
         import concurrent.futures as _fut
         import hashlib
 
         ctx = self.ctx
         os.makedirs(out_dir, exist_ok=True)
-        cache = ctx.refresh_cache_int(binaries)
+        if cache is None:
+            cache = ctx.refresh_cache_int(binaries)
         ip = self._int_params(ent_params)
         pgs: Dict[str, float] = {}
         checks: Dict[str, str] = {}
@@ -249,6 +255,7 @@ class CNCCodec:
             est_bits += eb
             actual_bits += ab
         pool.shutdown()
+        checks["__format__"] = intctx.FORMAT_VERSION
         with open(os.path.join(out_dir, f"{prefix}_checks.json"), "w") as fh:
             json.dump(checks, fh, indent=0)
         return pgs, est_bits / 8 / 1024 / 1024, actual_bits / 8 / 1024 / 1024
@@ -294,8 +301,8 @@ class CNCCodec:
 
     # ---------------------------------------------------------------- decode
     def decode(self, ent_params, binaries: jnp.ndarray,
-               pgs: Dict[str, float], in_dir: str, prefix: str = "b"
-               ) -> Dict[str, jnp.ndarray]:
+               pgs: Dict[str, float], in_dir: str, prefix: str = "b",
+               cache=None) -> Dict[str, jnp.ndarray]:
         """Reconstruct all four tables from the bitstreams (lossless).
 
         Every decoded stream's symbol bits are checked against the sha256
@@ -304,7 +311,8 @@ class CNCCodec:
         import hashlib
 
         ctx = self.ctx
-        cache = ctx.refresh_cache_int(binaries)
+        if cache is None:
+            cache = ctx.refresh_cache_int(binaries)
         ip = self._int_params(ent_params)
         checks_path = os.path.join(in_dir, f"{prefix}_checks.json")
         if not os.path.exists(checks_path):
@@ -315,6 +323,12 @@ class CNCCodec:
                 "silently ship a desynced reconstruction")
         with open(checks_path) as fh:
             checks = json.load(fh)
+        ver = checks.pop("__format__", None)
+        if ver != intctx.FORMAT_VERSION:
+            raise ValueError(
+                f"bitstream format v{ver} != codec format "
+                f"v{intctx.FORMAT_VERSION}: the integer context pipeline "
+                "changed since this bundle was encoded — re-encode it")
         bad: List[str] = []
 
         def read(name):

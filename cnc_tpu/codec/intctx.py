@@ -37,6 +37,11 @@ import numpy as np
 
 from ..ops import hash_ops
 
+# EVERY constant and arithmetic step below is bitstream-format-defining:
+# changing any of them desyncs decode of existing bundles (the per-stream
+# checksums catch it loudly).  Bump FORMAT_VERSION on any change.
+FORMAT_VERSION = 3
+
 # fixed-point scales (see module docstring for the int32 overflow budget;
 # the per-level pooling shift in CNCCodec handles pathological hash buckets)
 Q_AXIS = 32            # per-axis interp weight quantization (5 bits)
@@ -142,6 +147,10 @@ def int_encode_levels(coords: jnp.ndarray, rf: int, sign_tbl: jnp.ndarray,
                     cc.append(pgc_l[ax])
                     w = w * (Q_AXIS - fq_l[ax])
             cc = jnp.stack(cc, -1)
+            # pgc can be -1 at oob vertices (coord 0 when rc > rf); those
+            # rows are zeroed below, but clamp so every gather index is
+            # in-bounds by construction (no reliance on XLA oob semantics)
+            cc = jnp.clip(cc, 0, rc - 1)
             valid = jnp.ones((n,), bool)
             for ax in range(d):
                 valid = valid & (cc[:, ax] != 0) & (cc[:, ax] != rc - 1)
@@ -184,7 +193,7 @@ def int_encode_plane(coords: jnp.ndarray, rf: int, plane_q: jnp.ndarray,
             else:
                 cc.append(pgc_l[ax])
                 w = w * (Q_AXIS - fq_l[ax])
-        cc = jnp.stack(cc, -1)
+        cc = jnp.clip(jnp.stack(cc, -1), 0, pn_res - 1)
         valid = ((cc[:, 0] != 0) & (cc[:, 0] != pn_res - 1) &
                  (cc[:, 1] != 0) & (cc[:, 1] != pn_res - 1))
         flat_mask = cc[:, 0] * pn_res + cc[:, 1]

@@ -94,9 +94,12 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
         codec = codec_mod.CNCCodec(entropy)
         tables = rf.quantized_tables(trainer.params, cfg.model)
         t0 = time.time()
+        # one occupancy-cache build serves both codec passes (the decode
+        # self-check runs on the same binaries immediately after)
+        codec_cache = entropy.refresh_cache_int(trainer.occ_state.binaries)
         pgs, embed_mb_est, embed_mb_codec = codec.encode(
             trainer.ent_params, tables, trainer.occ_state.binaries, stream_dir,
-            prefix="b")
+            prefix="b", cache=codec_cache)
         enc_s = time.time() - t0
         log_fn(f"encoded {embed_mb_codec:.4f} MB "
                f"(analytic {embed_mb_est:.4f} MB) in {enc_s:.1f}s "
@@ -109,7 +112,7 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
         trainer.params = rf.replace_tables(trainer.params, zeroed)
         t0 = time.time()
         rec = codec.decode(trainer.ent_params, trainer.occ_state.binaries,
-                           pgs, stream_dir, prefix="b")
+                           pgs, stream_dir, prefix="b", cache=codec_cache)
         dec_s = time.time() - t0
         trainer.params = rf.replace_tables(trainer.params, rec)
         log_fn(f"decoded in {dec_s:.1f}s")

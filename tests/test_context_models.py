@@ -75,6 +75,18 @@ class TestTables:
             assert a["cum"][0] == 0 and a["cum"][-1] == t.n_points
             assert np.all(np.diff(a["cum"]) > 0)
 
+    def test_2d_entry_order_shuffled(self, ctx):
+        """2D entry ORDER must not be raster order: sampled entry windows
+        would be spatial slabs on dense levels (the reference shuffles its
+        non-colliding levels for the same reason, utils_bpp_acc.py:311-315;
+        VERDICT r2 #7)."""
+        for l, t in ctx.tables2d.items():
+            ev = ctx.level_arrays_np("2d", l)["entry_values"]
+            # a shuffled order is far from sorted: fewer than 60% ascending
+            # adjacent pairs (raster order would be 100%)
+            frac_sorted = np.mean(np.diff(ev.astype(np.int64)) > 0)
+            assert frac_sorted < 0.6, (l, frac_sorted)
+
 
 class TestCache:
     def test_mask_grid_matches_pointwise_sat(self, ctx, binaries, cache):

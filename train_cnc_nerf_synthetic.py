@@ -45,6 +45,10 @@ def main():
     parser.add_argument("--out_root", type=str, default=".")
     parser.add_argument("--multichip", action="store_true",
                         help="data-parallel training over all local devices")
+    parser.add_argument("--ctx_grad", type=int, default=1,
+                        help="0: stop-gradient the coarser-level context "
+                             "lookups in the rate estimate (skips their "
+                             "scatter-heavy backward; see EntropyConfig)")
     parser.add_argument("--rate_update_interval", type=int, default=1,
                         help="run the entropy rate gradients every K steps "
                              "(1 = reference schedule)")
@@ -72,7 +76,8 @@ def main():
         entropy=EntropyConfig(
             n_features=args.n_features, sample_num=args.sample_num,
             max_context_layer_num=args.max_context_layer_num,
-            Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D),
+            Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D,
+            ctx_grad=bool(args.ctx_grad)),
         render=RenderConfig(),
         train=dataclasses.replace(TrainConfig(), lmbda=args.lmbda,
                                   weight_decay=weight_decay,
