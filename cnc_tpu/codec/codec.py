@@ -239,7 +239,7 @@ class CNCCodec:
                 else:
                     msum, cnt, covered, values = self._pool2d_fn(l)(
                         ip, sign2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
-                        plane_q=plane_q, bin2d_ax=cache["bin2d"][ai],
+                        plane_q=plane_q,
                         mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)
@@ -377,7 +377,7 @@ class CNCCodec:
                     t = ctx.tables2d[l]
                     msum, cnt, covered, _ = self._pool2d_fn(l)(
                         ip, rec2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
-                        plane_q=plane_q, bin2d_ax=cache["bin2d"][ai],
+                        plane_q=plane_q,
                         mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
                     cov = np.asarray(covered)

@@ -1087,10 +1087,19 @@ class ContextModels:
         return msum, wsum, covered, values
 
     def pool_2d_level_int(self, int_params, sign2, level, pg_q, plane_q,
-                          bin2d_ax, mask2d_ax, start_e, n_e, w, m_shift,
+                          mask2d_ax, start_e, n_e, w, m_shift,
                           tbls: Optional[Dict] = None):
-        """Integer pool_2d_level (full coverage; count pooling like the
-        float twin).  plane_q: int dimension-wise prior plane or None."""
+        """Integer pool_2d_level (full coverage).
+
+        Coverage/pooling uses the PER-CORNER footprint mask (mask2d), not
+        the float twin's block occupancy: the context gathers of finer
+        levels treat a corner as valid whenever mask2d[corner] is true, so
+        every such corner's entry MUST be in the bitstream or decode reads
+        an un-decoded (+1) entry where encode read the trained sign and the
+        coder desyncs.  mask2d[c] => entry(c) covered holds by construction
+        here (same grid on both sides), mirroring the 3D path's mask3d
+        invariant.  plane_q: int dimension-wise prior plane or None.
+        """
         from ..codec import intctx
 
         cfg = self.cfg
@@ -1099,15 +1108,16 @@ class ContextModels:
         start_v = a["cum"][t.c_off + start_e]
         end_v = a["cum"][t.c_off + start_e + n_e]
         coords = jax.lax.dynamic_slice(a["coords"], (t.v_off + start_v,), (w,))
-        blocks = jax.lax.dynamic_slice(a["block_id"], (t.v_off + start_v,),
-                                       (w,))
         slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
                                       (w,)) - start_e
         valid = jnp.arange(w) < (end_v - start_v)
         evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
                                       (n_e,))
-        occ_block = bin2d_ax.reshape(-1)[blocks] & valid
-        cint = jnp.stack([coords >> 16, coords & 0xFFFF], -1).astype(jnp.int32)
+        x = coords >> 16
+        y = coords & 0xFFFF
+        mask_v = mask2d_ax[self.mask2d_offsets[level]
+                           + x * t.resolution + y] & valid
+        cint = jnp.stack([x, y], -1).astype(jnp.int32)
         cln = min(level, cfg.max_context_layer_num)
         levels = self._ctx_levels_meta(self.spec2, self.mask2d_offsets,
                                        level - cln, level)
@@ -1123,9 +1133,9 @@ class ContextModels:
                                       jnp.concatenate(parts, -1))
         mean = mean // (1 << m_shift)
         slots = jnp.clip(slots, 0, n_e - 1)
-        cnt = intctx.segment_sum_int(occ_block.astype(jnp.int32), slots,
-                                     jnp.ones_like(occ_block), n_e)
-        msum = intctx.segment_sum_int(mean, slots, occ_block, n_e)
+        cnt = intctx.segment_sum_int(mask_v.astype(jnp.int32), slots,
+                                     jnp.ones_like(mask_v), n_e)
+        msum = intctx.segment_sum_int(mean, slots, mask_v, n_e)
         covered = cnt > 0
         values = jnp.take(sign2, t.offset + evals, axis=0)
         return msum, cnt, covered, values

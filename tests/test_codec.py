@@ -123,3 +123,41 @@ def test_quantize_mlp():
     err = np.abs(np.asarray(q["w"]) - np.asarray(params["w"])).max()
     assert err < 2.0 / (2 ** 13 - 1) + 1e-5
     assert mb < mb_orig
+
+
+def test_2d_gather_mask_implies_coverage(setup):
+    """Every coord the context gathers would treat as valid (footprint mask
+    true) must belong to a CODED entry — otherwise decode reads a +1 default
+    where encode read the trained sign and the range coder desyncs.  The 3D
+    path holds this by sharing mask3d between gathers and pooling; this
+    pins the 2D path to the same invariant (round-3 fix: pooling coverage
+    had used block occupancy, a subset of the footprint mask)."""
+    from cnc_tpu.codec import intctx
+    from cnc_tpu.ops import hash_ops
+
+    ctx, ent_params, tables, binaries, out_dir = setup
+    cd = codec_mod.CNCCodec(ctx)
+    cache = ctx.refresh_cache_int(binaries)
+    ip = cd._int_params(ent_params)
+    sign2 = intctx.sign_table(tables["xy"])
+    sign3 = intctx.sign_table(tables["xyz"])
+    plane_q = cd._frac_fn()(sign3, cache["pn"]["xy"])
+    mask2d = np.asarray(cache["mask2d"])
+    for l in ctx.ctx_levels_2d:
+        t = ctx.tables2d[l]
+        r = t.resolution
+        _, _, covered, _ = cd._pool2d_fn(l)(
+            ip, sign2, pg_q=jnp.int32(128), plane_q=plane_q,
+            mask2d_ax=cache["mask2d"][0], start_e=jnp.int32(0),
+            tbls=ctx.table_arrays)
+        covered = np.asarray(covered)
+        # entry index per covered-table slot
+        evals = ctx.entry_values_np("2d", l)
+        covered_by_entry = np.zeros(ctx.spec2.level_sizes[l], bool)
+        covered_by_entry[evals] = covered
+        off = ctx.mask2d_offsets[l]
+        m = mask2d[0][off:off + r * r].reshape(r, r)  # [x, y] (x-major flat)
+        xs, ys = np.nonzero(m)
+        idx = hash_ops.grid_index_np(np.stack([xs, ys], -1), r,
+                                     ctx.spec2.level_sizes[l])
+        assert covered_by_entry[idx].all(), f"level {l}"
