@@ -24,6 +24,7 @@ Usage: JAX_PLATFORMS=axon PYTHONPATH=/root/.axon_site:/root/repo \
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -32,6 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# PALLAS_INTERPRET=1 runs the kernels through the Pallas interpreter on any
+# backend (CPU included) — correctness-only validation before a TPU slot.
+INTERPRET = bool(int(os.environ.get("PALLAS_INTERPRET", "0")))
 
 
 def log(*a):
@@ -66,6 +71,7 @@ def pallas_gather(tbl_t, idx8, block):
         gather_kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=grid,
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((8, tbl_t.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -99,6 +105,7 @@ def pallas_scatter(idx8, vals, t, block):
         scatter_kernel,
         out_shape=jax.ShapeDtypeStruct((8, t), jnp.float32),
         grid=(n // block,),
+        interpret=INTERPRET,
         in_specs=[
             pl.BlockSpec((8, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -114,7 +121,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 23
     log2_t = int(sys.argv[2]) if len(sys.argv) > 2 else 18
     t = 1 << log2_t
-    block = 1 << 13
+    block = min(1 << 13, n)
     log(f"N={n} T={t} ({t * 8 * 4 / 2 ** 20:.1f} MB transposed table)")
 
     rng = np.random.default_rng(0)
