@@ -210,44 +210,61 @@ class CNCCodec:
             pq = coder.quantize_probs(np.full(v.size, np.float64(pg)))
             write(name, bits, pq)
 
-        # --- 3D levels in order
+        # At encode time every table's signs are fully known, so EVERY pool
+        # program (all 3D chunks of all levels, 3 planes x ctx levels, plus
+        # the 3 frac planes) dispatches before any host pull: the device
+        # queue stays full while the host converts + range-codes earlier
+        # streams (the reference serializes GPU->CPU->torchac per level,
+        # utils_bpp_acc.py:77-93).
         tbl3_np = np.asarray(tables["xyz"])
         sign3 = intctx.sign_table(tables["xyz"])
+        outs3 = {}
         for l in range(ctx.spec3.n_levels):
             off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
-            pg = self._level_pg(tbl3_np, off, size)
-            pgs[f"3D{l}"] = float(pg)
-            if l in self.cfg.skip_levels_3d or l >= ctx.pg_level:
-                write_global(f"3D{l}", tbl3_np[off:off + size], pg)
-            else:
-                self._encode_ctx3d_level(ip, sign3, cache, l, float(pg),
-                                         write)
+            pgs[f"3D{l}"] = float(self._level_pg(tbl3_np, off, size))
+            if not (l in self.cfg.skip_levels_3d or l >= ctx.pg_level):
+                outs3[l] = self._dispatch_ctx3d_level(
+                    ip, sign3, cache, l, pgs[f"3D{l}"])
 
-        # --- 2D planes (reference encodes planes with the trained finest 3D
-        # level for the dimension-wise prior; identical to the decoded one)
+        plane_qs = {ax: (self._frac_fn()(sign3, cache["pn"][ax])
+                         if self.cfg.use_dimension_wise else None)
+                    for ax in AXES}
+        pool_outs = {}
+        tbl2_nps = {ax: np.asarray(tables[ax]) for ax in AXES}
         for ai, ax in enumerate(AXES):
-            tbl2_np = np.asarray(tables[ax])
             sign2 = intctx.sign_table(tables[ax])
-            plane_q = (self._frac_fn()(sign3, cache["pn"][ax])
-                       if self.cfg.use_dimension_wise else None)
             for l in range(ctx.spec2.n_levels):
                 off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
-                pg = self._level_pg(tbl2_np, off, size)
+                pg = self._level_pg(tbl2_nps[ax], off, size)
                 pgs[f"{ax}{l}"] = float(pg)
-                if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
-                    write_global(f"{ax}{l}", tbl2_np[off:off + size], pg)
-                else:
-                    msum, cnt, covered, values = self._pool2d_fn(l)(
+                if not (l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d):
+                    pool_outs[(ax, l)] = self._pool2d_fn(l)(
                         ip, sign2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
-                        plane_q=plane_q,
+                        plane_q=plane_qs[ax],
                         mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                         tbls=self.ctx.table_arrays)
-                    cov = np.asarray(covered)
-                    pq = intctx.host_pq(np.asarray(msum)[cov],
-                                        np.asarray(cnt)[cov],
-                                        self.m_scale2[l]).reshape(-1)
-                    bits = (np.asarray(values)[cov] > 0).reshape(-1)
-                    write(f"{ax}{l}", bits, pq)
+
+        # --- host pulls, in stream order
+        for l in range(ctx.spec3.n_levels):
+            off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
+            if l in self.cfg.skip_levels_3d or l >= ctx.pg_level:
+                write_global(f"3D{l}", tbl3_np[off:off + size],
+                             pgs[f"3D{l}"])
+            else:
+                self._pull_ctx3d_level(outs3[l], l, write)
+        for ax in AXES:
+            for l in range(ctx.spec2.n_levels):
+                off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
+                if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
+                    write_global(f"{ax}{l}", tbl2_nps[ax][off:off + size],
+                                 pgs[f"{ax}{l}"])
+        for (ax, l), (msum, cnt, covered, values) in pool_outs.items():
+            cov = np.asarray(covered)
+            pq = intctx.host_pq(np.asarray(msum)[cov],
+                                np.asarray(cnt)[cov],
+                                self.m_scale2[l]).reshape(-1)
+            bits = (np.asarray(values)[cov] > 0).reshape(-1)
+            write(f"{ax}{l}", bits, pq)
 
         for fut in pending:
             name, digest, eb, ab = fut.result()
@@ -272,22 +289,17 @@ class CNCCodec:
                                               t.n_entries - chunk_e)))
         return out
 
-    def _encode_ctx3d_level(self, ip, sign3, cache, level, pg, write):
-        """Full-coverage encode of one context level, chunked.
-
-        Device programs for ALL chunks are dispatched before any host pull
-        (async dispatch keeps the accelerator busy while earlier chunks
-        convert + range-code on host threads) — the round-1 version
-        serialized dispatch -> pull -> code per chunk."""
-        _, n_chunks, _ = self.chunks3d[level]
+    def _dispatch_ctx3d_level(self, ip, sign3, cache, level, pg):
+        """Dispatch all chunk pool programs of one context level (async)."""
         fn = self._pool3d_fn(level)
         pg_q = jnp.int32(intctx.quantize_pg(pg))
-        outs = []
-        for c, (want_lo, want_hi, start) in enumerate(
-                self._chunk_bounds(level)):
-            outs.append(fn(ip, sign3, cache, pg_q=pg_q,
-                           start_e=jnp.int32(start),
-                           tbls=self.ctx.table_arrays))
+        return [fn(ip, sign3, cache, pg_q=pg_q, start_e=jnp.int32(start),
+                   tbls=self.ctx.table_arrays)
+                for (_, _, start) in self._chunk_bounds(level)]
+
+    def _pull_ctx3d_level(self, outs, level, write):
+        """Pull one level's dispatched chunk outputs and range-code them."""
+        _, n_chunks, _ = self.chunks3d[level]
         for c, ((want_lo, want_hi, start), (msum, wsum, covered, values)) in \
                 enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
@@ -362,35 +374,47 @@ class CNCCodec:
                                                 verify)
 
         recs = {"xyz": rec3}
-        for ai, ax in enumerate(AXES):
-            rec2 = jnp.ones((ctx.spec2.total_entries, f), jnp.int32)
-            plane_q = (self._frac_fn()(rec3, cache["pn"][ax])
-                       if self.cfg.use_dimension_wise else None)
-            for l in range(ctx.spec2.n_levels):
-                off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
-                pg = float(pgs[f"{ax}{l}"])
-                if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
-                    sym = decode_global(f"{ax}{l}", size * f, pg)
-                    rec2 = rec2.at[off:off + size].set(
+        # The three planes are independent decode chains (each level's
+        # context reads only ITS plane's coarser levels plus rec3), so the
+        # 2D decode runs level-major in lockstep: every level, all three
+        # planes' pool programs dispatch before any is pulled — device pools
+        # of planes B/C overlap the host range-decode of plane A.
+        rec2s = {ax: jnp.ones((ctx.spec2.total_entries, f), jnp.int32)
+                 for ax in AXES}
+        plane_qs = {ax: (self._frac_fn()(rec3, cache["pn"][ax])
+                         if self.cfg.use_dimension_wise else None)
+                    for ax in AXES}
+        for l in range(ctx.spec2.n_levels):
+            off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
+            if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
+                for ax in AXES:
+                    sym = decode_global(f"{ax}{l}", size * f,
+                                        float(pgs[f"{ax}{l}"]))
+                    rec2s[ax] = rec2s[ax].at[off:off + size].set(
                         jnp.asarray(sym.reshape(size, f)))
-                else:
-                    t = ctx.tables2d[l]
-                    msum, cnt, covered, _ = self._pool2d_fn(l)(
-                        ip, rec2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
-                        plane_q=plane_q,
-                        mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
-                        tbls=self.ctx.table_arrays)
-                    cov = np.asarray(covered)
-                    pq = intctx.host_pq(np.asarray(msum)[cov],
-                                        np.asarray(cnt)[cov],
-                                        self.m_scale2[l]).reshape(-1)
-                    name = f"{ax}{l}"
-                    bits = coder.decode_bits(read(name), pq)
-                    verify(name, bits)
-                    sym = (bits.astype(np.int32) * 2 - 1).reshape(-1, f)
-                    idx = t.offset + ctx.entry_values_np("2d", l)[cov]
-                    rec2 = _scatter_set_padded(rec2, idx, sym)
-            recs[ax] = rec2
+                continue
+            t = ctx.tables2d[l]
+            outs = {}
+            for ai, ax in enumerate(AXES):
+                outs[ax] = self._pool2d_fn(l)(
+                    ip, rec2s[ax],
+                    pg_q=jnp.int32(intctx.quantize_pg(float(pgs[f"{ax}{l}"]))),
+                    plane_q=plane_qs[ax],
+                    mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
+                    tbls=self.ctx.table_arrays)
+            for ax in AXES:
+                msum, cnt, covered, _ = outs[ax]
+                cov = np.asarray(covered)
+                pq = intctx.host_pq(np.asarray(msum)[cov],
+                                    np.asarray(cnt)[cov],
+                                    self.m_scale2[l]).reshape(-1)
+                name = f"{ax}{l}"
+                bits = coder.decode_bits(read(name), pq)
+                verify(name, bits)
+                sym = (bits.astype(np.int32) * 2 - 1).reshape(-1, f)
+                idx = t.offset + ctx.entry_values_np("2d", l)[cov]
+                rec2s[ax] = _scatter_set_padded(rec2s[ax], idx, sym)
+        recs.update(rec2s)
         if bad:
             raise ValueError(
                 f"codec desync: decoded symbols of stream(s) {sorted(bad)} "

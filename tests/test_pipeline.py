@@ -18,6 +18,22 @@ from cnc_tpu.data import scenes
 from cnc_tpu.train import driver
 
 
+# PSNRs recorded by each pipeline test so whichever runs second can assert
+# the single-device and multichip trainers land in the same quality regime
+# (a silent training regression in either path shows up as a gap here long
+# before the soft >5 dB floors would catch it)
+_PSNRS = {}
+
+
+def _cross_check(kind, psnr):
+    _PSNRS[kind] = psnr
+    if len(_PSNRS) == 2:
+        a, b = _PSNRS["single40"], _PSNRS["multi24"]
+        # 40 vs 24 steps differ by ~1-2 dB at this scale; 5 dB means one of
+        # the two trainers effectively stopped learning
+        assert abs(a - b) < 5.0, _PSNRS
+
+
 def tiny_rd_config():
     return CNCConfig(
         model=ModelConfig(n_features_per_level=2, n_neurons=32,
@@ -52,6 +68,7 @@ def test_run_pipeline_end_to_end(tmp_path):
                               max_eval_images=1, log_fn=lambda *a: None)
 
     assert np.isfinite(res.psnr) and res.psnr > 5.0
+    _cross_check("single40", res.psnr)
     # losslessness: decoding the bitstream reproduces the binarized tables the
     # pre-codec eval rendered with (driver :442-506) up to context coverage;
     # PSNR must match to float noise.  Measured delta at this config is
@@ -111,6 +128,7 @@ def test_run_pipeline_multichip(tmp_path):
                               max_eval_images=1, mesh=make_mesh(8),
                               log_fn=lambda *a: None)
     assert np.isfinite(res.psnr)
+    _cross_check("multi24", res.psnr)
     # same 0.0000 dB measured delta as the single-device pipeline (the codec
     # path is identical; only training is sharded)
     assert abs(res.psnr - res.psnr_codec) < 0.05, (res.psnr, res.psnr_codec)
