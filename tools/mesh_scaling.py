@@ -44,12 +44,14 @@ def _build(n_dev):
     import jax
 
     # sitecustomize binds the axon (single-TPU) platform at interpreter
-    # start regardless of env; re-point at the virtual CPU mesh
-    if len(jax.devices()) < n_dev or jax.devices()[0].platform != "cpu":
+    # start regardless of env; re-point at the virtual CPU mesh BEFORE any
+    # jax.devices() query — with the tunnel down, touching the axon backend
+    # first either hangs in its claim loop or raises at init
+    if jax.config.jax_platforms != "cpu":
         import jax.extend.backend as jax_backend
         jax.config.update("jax_platforms", "cpu")
         jax_backend.clear_backends()
-        assert len(jax.devices()) >= n_dev, jax.devices()
+    assert len(jax.devices()) >= n_dev, jax.devices()
 
     from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
                                 RenderConfig, TrainConfig)
