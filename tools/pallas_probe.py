@@ -172,7 +172,10 @@ def main():
         want = np.zeros((t,), np.float32)
         np.add.at(want, np.asarray(idx[:4096]),
                   np.asarray(vals[0, :4096]))
-        got = np.asarray(ps(idx8[:, :4096], vals[:, :4096]))[0]
+        # the timing jit's block may exceed 4096 (zero-size grid) — use a
+        # check-sized block
+        ps_chk = jax.jit(functools.partial(pallas_scatter, t=t, block=4096))
+        got = np.asarray(ps_chk(idx8[:, :4096], vals[:, :4096]))[0]
         log(f"  scatter correct: {np.allclose(got, want, atol=1e-3)}")
     except Exception as e:
         log(f"pallas serial scatter FAILED TO LOWER: {type(e).__name__}: "
