@@ -45,10 +45,18 @@ class PipelineResult:
     elapsed_train_s: float
     encode_s: float
     decode_s: float
+    raw_table_MB: float = float("nan")   # fp32 size of the four hash tables
 
     def total_size_MB(self, digit_idx: int = 0) -> float:
         return (self.embed_MB_codec + self.context_MB + self.binary_vxl_MB +
                 self.quant_results[digit_idx]["mlp_MB"])
+
+    def compression_x(self, digit_idx: int = 0) -> float:
+        """Coded-bundle compression vs the raw fp32 tables + fp32 MLPs —
+        the in-framework analogue of the reference's ~100x-vs-Instant-NGP
+        headline (README.md:3; INGP ~50 MB anchor, BASELINE.md)."""
+        return ((self.raw_table_MB + self.mlp_MB_orig) /
+                self.total_size_MB(digit_idx))
 
 
 def build_entropy(cfg: CNCConfig, n_devices: int = 1) -> cm.ContextModels:
@@ -147,7 +155,12 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
         embed_MB_est=embed_mb_est, embed_MB_codec=embed_mb_codec,
         mlp_MB_orig=mlp_mb_orig, context_MB=context_mb,
         binary_vxl_MB=vxl_mb, quant_results=quant_results,
-        elapsed_train_s=elapsed, encode_s=enc_s, decode_s=dec_s)
+        elapsed_train_s=elapsed, encode_s=enc_s, decode_s=dec_s,
+        raw_table_MB=sum(int(np.prod(trainer.params[k].shape))
+                         for k in ("xyz", "xy", "xz", "yz")) * 4 / 1024**2)
+    log_fn(f"compression: {result.raw_table_MB:.1f} MB raw fp32 tables -> "
+           f"{result.total_size_MB():.4f} MB bundle "
+           f"({result.compression_x():.1f}x)")
     return result
 
 
@@ -208,6 +221,9 @@ def append_result_row(result: PipelineResult, scene: str, dataset_name: str,
                  fmt(q["psnr"]), fmt(q["lpips"]), fmt(-q["ssim"]),
                  fmt(r.total_size_MB(i))]
     cols += [np.round(r.elapsed_train_s, 4), np.round(r.encode_s, 4),
-             np.round(r.decode_s, 4)]
+             np.round(r.decode_s, 4),
+             # extension columns (not in the reference layout): raw fp32
+             # table MB and the resulting compression factor
+             fmt(r.raw_table_MB), fmt(r.compression_x())]
     with open(os.path.join(outdir, "output.txt"), "a") as fw:
         fw.write("\t".join(str(c) for c in cols) + "\n")
