@@ -114,14 +114,26 @@ class CNCCodec:
             self.m_scale2[l] = intctx.M_SCALE >> s
 
     # ------------------------------------------------------------- jit pool
+    # The jitted wrappers finish the probability math ON DEVICE
+    # (intctx.device_pq is bit-identical to host_pq — tested) and emit
+    # (pq uint16, covered bool, sign bits uint8): ~13 bytes/entry pulled
+    # through the relay instead of the 36 of raw msum+wsum+values int32.
     def _pool3d_fn(self, level):
         key = ("p3", level)
         fn = self._jit_cache.get(key)
         if fn is None:
             chunk_e, _, w = self.chunks3d[level]
-            fn = jax.jit(functools.partial(
+            pool = functools.partial(
                 self.ctx.pool_3d_level_int, level=level, n_e=chunk_e, w=w,
-                m_shift=self.m_shift3[level]))
+                m_shift=self.m_shift3[level])
+            m_scale = self.m_scale3[level]
+
+            def run(*args, **kw):
+                msum, wsum, covered, values = pool(*args, **kw)
+                return (intctx.device_pq(msum, wsum, m_scale), covered,
+                        (values > 0).astype(jnp.uint8))
+
+            fn = jax.jit(run)
             self._jit_cache[key] = fn
         return fn
 
@@ -130,9 +142,17 @@ class CNCCodec:
         fn = self._jit_cache.get(key)
         if fn is None:
             t = self.ctx.tables2d[level]
-            fn = jax.jit(functools.partial(
+            pool = functools.partial(
                 self.ctx.pool_2d_level_int, level=level, n_e=t.n_entries,
-                w=t.n_points, m_shift=self.m_shift2[level]))
+                w=t.n_points, m_shift=self.m_shift2[level])
+            m_scale = self.m_scale2[level]
+
+            def run(*args, **kw):
+                msum, cnt, covered, values = pool(*args, **kw)
+                return (intctx.device_pq(msum, cnt, m_scale), covered,
+                        (values > 0).astype(jnp.uint8))
+
+            fn = jax.jit(run)
             self._jit_cache[key] = fn
         return fn
 
@@ -258,12 +278,10 @@ class CNCCodec:
                 if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
                     write_global(f"{ax}{l}", tbl2_nps[ax][off:off + size],
                                  pgs[f"{ax}{l}"])
-        for (ax, l), (msum, cnt, covered, values) in pool_outs.items():
+        for (ax, l), (pq_d, covered, vbits) in pool_outs.items():
             cov = np.asarray(covered)
-            pq = intctx.host_pq(np.asarray(msum)[cov],
-                                np.asarray(cnt)[cov],
-                                self.m_scale2[l]).reshape(-1)
-            bits = (np.asarray(values)[cov] > 0).reshape(-1)
+            pq = np.asarray(pq_d)[cov].reshape(-1)
+            bits = np.asarray(vbits)[cov].reshape(-1)
             write(f"{ax}{l}", bits, pq)
 
         for fut in pending:
@@ -300,14 +318,12 @@ class CNCCodec:
     def _pull_ctx3d_level(self, outs, level, write):
         """Pull one level's dispatched chunk outputs and range-code them."""
         _, n_chunks, _ = self.chunks3d[level]
-        for c, ((want_lo, want_hi, start), (msum, wsum, covered, values)) in \
+        for c, ((want_lo, want_hi, start), (pq_d, covered, vbits)) in \
                 enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
-            bits = (np.asarray(values)[sl][cov] > 0).reshape(-1)
-            pq = intctx.host_pq(np.asarray(msum)[sl][cov],
-                                np.asarray(wsum)[sl][cov],
-                                self.m_scale3[level]).reshape(-1)
+            bits = np.asarray(vbits)[sl][cov].reshape(-1)
+            pq = np.asarray(pq_d)[sl][cov].reshape(-1)
             suffix = f"3D{level}_{c}" if n_chunks > 1 else f"3D{level}"
             write(suffix, bits, pq)
 
@@ -403,11 +419,9 @@ class CNCCodec:
                     mask2d_ax=cache["mask2d"][ai], start_e=jnp.int32(0),
                     tbls=self.ctx.table_arrays)
             for ax in AXES:
-                msum, cnt, covered, _ = outs[ax]
+                pq_d, covered, _ = outs[ax]
                 cov = np.asarray(covered)
-                pq = intctx.host_pq(np.asarray(msum)[cov],
-                                    np.asarray(cnt)[cov],
-                                    self.m_scale2[l]).reshape(-1)
+                pq = np.asarray(pq_d)[cov].reshape(-1)
                 name = f"{ax}{l}"
                 bits = coder.decode_bits(read(name), pq)
                 verify(name, bits)
@@ -444,13 +458,11 @@ class CNCCodec:
                            start_e=jnp.int32(start),
                            tbls=self.ctx.table_arrays))
         idx_all, sym_all = [], []
-        for c, ((want_lo, want_hi, start), (msum, wsum, covered, _)) in \
+        for c, ((want_lo, want_hi, start), (pq_d, covered, _)) in \
                 enumerate(zip(self._chunk_bounds(level), outs)):
             sl = slice(want_lo - start, want_hi - start)
             cov = np.asarray(covered)[sl]
-            pq = intctx.host_pq(np.asarray(msum)[sl][cov],
-                                np.asarray(wsum)[sl][cov],
-                                self.m_scale3[level]).reshape(-1)
+            pq = np.asarray(pq_d)[sl][cov].reshape(-1)
             suffix = f"3D{level}_{c}" if n_chunks > 1 else f"3D{level}"
             bits = coder.decode_bits(read(suffix), pq)
             verify(suffix, bits)

@@ -339,3 +339,34 @@ def host_pq(msum: np.ndarray, wsum: np.ndarray, m_scale: int) -> np.ndarray:
     if msum.ndim == 2:
         den = den[:, None]
     return np.clip(num // den, 1, 65535).astype(np.uint16)
+
+
+def device_pq(msum: jnp.ndarray, wsum: jnp.ndarray,
+              m_scale: int) -> jnp.ndarray:
+    """host_pq computed on device, bit-identical, in 32-bit lanes.
+
+    TPU has no int64, so floor(msum * 65536 / den) is a chunked restoring
+    long division in uint32 (den < 2**27 by the per-level m_shift budget —
+    wsum*m_scale carries at most vmax_bits+6+11-shift <= 27 bits — so the
+    remainder shifted 5 bits at a time never overflows).  Integer ops
+    are exact on every backend, so this preserves the codec's determinism
+    contract; it exists to let pool programs emit uint16 probabilities
+    directly (pulling 2 bytes/symbol through the relay instead of the 12
+    bytes of msum+wsum+values).  Equivalence with host_pq is tested over
+    the full sign/magnitude range (tests/test_codec.py)."""
+    den = jnp.maximum(wsum, 1).astype(jnp.uint32) * jnp.uint32(m_scale)
+    if msum.ndim == 2:
+        den = den[:, None]
+    pos = msum > 0
+    m = jnp.where(pos, msum, 0).astype(jnp.uint32)
+    # p >= 1 (msum >= den) clips to 65535; below, the quotient fits uint16
+    sat = m >= den
+    r = jnp.where(sat, 0, m)
+    q = jnp.zeros_like(r)
+    for c in (5, 5, 5, 1):      # 16 = 5+5+5+1; r < den < 2**27 => r<<5 fits
+        r = r << c
+        qc = r // den
+        r = r - qc * den
+        q = (q << c) | qc
+    q = jnp.where(sat, 65535, jnp.clip(q, 1, 65535))
+    return jnp.where(pos, q, 1).astype(jnp.uint16)

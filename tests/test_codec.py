@@ -70,7 +70,7 @@ def test_roundtrip_lossless(setup):
                 lo = c * chunk_e
                 hi = min((c + 1) * chunk_e, t.n_entries)
                 start = min(lo, t.n_entries - chunk_e)
-                _, _, covered, _ = cd._pool3d_fn(l)(
+                _, covered, _ = cd._pool3d_fn(l)(
                     ip, sign3, cache,
                     pg_q=jnp.int32(intctx.quantize_pg(pgs[f"3D{l}"])),
                     start_e=jnp.int32(start))
@@ -146,7 +146,7 @@ def test_2d_gather_mask_implies_coverage(setup):
     for l in ctx.ctx_levels_2d:
         t = ctx.tables2d[l]
         r = t.resolution
-        _, _, covered, _ = cd._pool2d_fn(l)(
+        _, covered, _ = cd._pool2d_fn(l)(
             ip, sign2, pg_q=jnp.int32(128), plane_q=plane_q,
             mask2d_ax=cache["mask2d"][0], start_e=jnp.int32(0),
             tbls=ctx.table_arrays)
@@ -161,3 +161,30 @@ def test_2d_gather_mask_implies_coverage(setup):
         idx = hash_ops.grid_index_np(np.stack([xs, ys], -1), r,
                                      ctx.spec2.level_sizes[l])
         assert covered_by_entry[idx].all(), f"level {l}"
+
+
+def test_device_pq_matches_host_pq():
+    """device_pq (chunked uint32 long division) must be bit-identical to
+    host_pq (one int64 division) over the full operand range the codec can
+    produce: msum in +-2**30, wsum*m_scale < 2**27, including zero and
+    negative pooled sums and saturating (p >= 1) cases."""
+    from cnc_tpu.codec import intctx
+
+    rng = np.random.default_rng(7)
+    n = 1 << 15
+    for m_scale in (1, 37, 2048):
+        wmax = (1 << 27) // m_scale  # per-level shift budget: den < 2**27
+        msum = rng.integers(-(1 << 30), 1 << 30, (n, 2), dtype=np.int32)
+        wsum = rng.integers(0, wmax, (n,), dtype=np.int32)
+        # force edge rows: zero/negative msum, zero wsum, exact saturation
+        msum[0] = 0
+        msum[1] = -1
+        wsum[2] = 0
+        msum[3] = (int(wsum[3]) * m_scale)       # p == 1 exactly
+        msum[4] = (int(wsum[4]) * m_scale) - 1   # just below saturation
+        want = intctx.host_pq(msum, wsum, m_scale)
+        got = np.asarray(jax.jit(
+            lambda m, w: intctx.device_pq(m, w, m_scale))(
+                jnp.asarray(msum), jnp.asarray(wsum)))
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, want)
