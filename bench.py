@@ -46,7 +46,28 @@ def main():
     from cnc_tpu.train import driver
     from cnc_tpu.train.trainer import Trainer
 
+    # If the tunneled TPU backend is unreachable, jax.devices() blocks
+    # forever (no timeout in the plugin) and the bench would die on the
+    # harness timeout without emitting its JSON line.  A watchdog emits an
+    # honest zero-throughput record instead so the failure is recorded as a
+    # measurement, not a parse error.
+    import threading
+    devices_seen = threading.Event()
+
+    def _watchdog():
+        if not devices_seen.wait(timeout=600):
+            log("bench watchdog: device backend unreachable after 600s")
+            print(json.dumps({
+                "metric": "rd_train_throughput",
+                "value": 0.0,
+                "unit": "samples/s",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     log("bench devices:", jax.devices())
+    devices_seen.set()
     cfg = CNCConfig(
         model=ModelConfig(n_features_per_level=4),
         entropy=EntropyConfig(n_features=4, sample_num=100000),

@@ -33,7 +33,6 @@ import numpy as np
 
 from ..config import EntropyConfig
 from ..models.context_models import ContextModels
-from ..ops import entropy as ent_ops
 from . import coder, intctx
 
 P_CLIP = 1e-6
@@ -67,10 +66,11 @@ class CNCCodec:
     """Host-orchestrated encoder/decoder over a ContextModels instance.
 
     All per-entry probabilities run through the deterministic integer
-    pipeline (codec/intctx.py): the pool programs return int32 pooled sums,
-    and the uint16 coder probability is one int64 host division — identical
-    in every process and on every backend, which is what makes the
-    self-contained bundle decodable anywhere."""
+    pipeline (codec/intctx.py): the pool programs return int32 pooled sums
+    and finish with intctx.device_pq — an exact uint32 long division,
+    bit-identical to the int64 host division and identical in every process
+    and on every backend, which is what makes the self-contained bundle
+    decodable anywhere."""
 
     def __init__(self, ctx: ContextModels):
         self.ctx = ctx
@@ -163,15 +163,48 @@ class CNCCodec:
             self._jit_cache["frac"] = fn
         return fn
 
+    def _stats_fn(self, which):
+        """One device program per table: per-level +-1 sums (exact int32 —
+        the global-Pg numerator) and MSB-first packed sign bits.  Replaces
+        pulling the full fp32 table (~30x the bytes) plus a per-level
+        host-slice -> device-sum -> host roundtrip for each global Pg."""
+        key = ("stats", which)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            spec = self.ctx.spec3 if which == "3d" else self.ctx.spec2
+
+            def run(table):
+                sums = jnp.stack([
+                    jnp.sum(jax.lax.dynamic_slice_in_dim(
+                        table, spec.offsets[l], spec.level_sizes[l]
+                    ).astype(jnp.int32))
+                    for l in range(spec.n_levels)])
+                bits = (table > 0).astype(jnp.uint8).reshape(-1)
+                pad = (-bits.size) % 8
+                if pad:
+                    bits = jnp.concatenate(
+                        [bits, jnp.zeros((pad,), jnp.uint8)])
+                weights = (1 << np.arange(7, -1, -1)).astype(np.uint8)
+                packed = (bits.reshape(-1, 8) *
+                          jnp.asarray(weights)[None, :]).sum(
+                              axis=1, dtype=jnp.uint8)
+                return sums, packed
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
     def _int_params(self, ent_params):
         return jax.tree.map(jnp.asarray,
                             intctx.quantize_ctx_params(ent_params))
 
     @staticmethod
-    def _level_pg(table, offset, size) -> np.ndarray:
-        sl = table[offset:offset + size]
-        pg, _, _ = ent_ops.global_pg_bits(sl)
-        return np.float32(pg)
+    def _pg_from_sum(s: int, ttl: int) -> float:
+        """Global Pg of one level from its exact +-1 sum (global_pg_bits
+        numerator, ops/entropy.py): pos/ttl, single-rounded to float32 —
+        identical to dividing the exact integers in float32 directly, and
+        exactly representable through the bundle's float32 pgs array."""
+        return float(np.float32((ttl + int(s)) / 2.0 / ttl))
 
     @staticmethod
     def _analytic_bits(bits: np.ndarray, pq: np.ndarray) -> float:
@@ -224,10 +257,8 @@ class CNCCodec:
                                        np.ascontiguousarray(bits, np.uint8),
                                        pq))
 
-        def write_global(name, values, pg):
-            v = np.asarray(values).reshape(-1)
-            bits = (v > 0).astype(np.uint8)
-            pq = coder.quantize_probs(np.full(v.size, np.float64(pg)))
+        def write_global(name, bits, pg):
+            pq = coder.quantize_probs(np.full(bits.size, np.float64(pg)))
             write(name, bits, pq)
 
         # At encode time every table's signs are fully known, so EVERY pool
@@ -235,13 +266,19 @@ class CNCCodec:
         # the 3 frac planes) dispatches before any host pull: the device
         # queue stays full while the host converts + range-codes earlier
         # streams (the reference serializes GPU->CPU->torchac per level,
-        # utils_bpp_acc.py:77-93).
-        tbl3_np = np.asarray(tables["xyz"])
+        # utils_bpp_acc.py:77-93).  The host never pulls the fp32 tables —
+        # global Pg comes from exact per-level +-1 sums and skip-level
+        # symbols from packed device sign bits (_stats_fn).
+        f = self.cfg.n_features
+        st3 = self._stats_fn("3d")(tables["xyz"])
+        st2 = {ax: self._stats_fn("2d")(tables[ax]) for ax in AXES}
         sign3 = intctx.sign_table(tables["xyz"])
+        sums3 = np.asarray(st3[0])
+        for l in range(ctx.spec3.n_levels):
+            pgs[f"3D{l}"] = self._pg_from_sum(
+                sums3[l], ctx.spec3.level_sizes[l] * f)
         outs3 = {}
         for l in range(ctx.spec3.n_levels):
-            off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
-            pgs[f"3D{l}"] = float(self._level_pg(tbl3_np, off, size))
             if not (l in self.cfg.skip_levels_3d or l >= ctx.pg_level):
                 outs3[l] = self._dispatch_ctx3d_level(
                     ip, sign3, cache, l, pgs[f"3D{l}"])
@@ -250,13 +287,13 @@ class CNCCodec:
                          if self.cfg.use_dimension_wise else None)
                     for ax in AXES}
         pool_outs = {}
-        tbl2_nps = {ax: np.asarray(tables[ax]) for ax in AXES}
         for ai, ax in enumerate(AXES):
             sign2 = intctx.sign_table(tables[ax])
+            sums2 = np.asarray(st2[ax][0])
             for l in range(ctx.spec2.n_levels):
-                off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
-                pg = self._level_pg(tbl2_nps[ax], off, size)
-                pgs[f"{ax}{l}"] = float(pg)
+                pg = self._pg_from_sum(sums2[l],
+                                       ctx.spec2.level_sizes[l] * f)
+                pgs[f"{ax}{l}"] = pg
                 if not (l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d):
                     pool_outs[(ax, l)] = self._pool2d_fn(l)(
                         ip, sign2, pg_q=jnp.int32(intctx.quantize_pg(pg)),
@@ -265,18 +302,20 @@ class CNCCodec:
                         tbls=self.ctx.table_arrays)
 
         # --- host pulls, in stream order
+        bits3 = np.unpackbits(np.asarray(st3[1]))
         for l in range(ctx.spec3.n_levels):
             off, size = ctx.spec3.offsets[l], ctx.spec3.level_sizes[l]
             if l in self.cfg.skip_levels_3d or l >= ctx.pg_level:
-                write_global(f"3D{l}", tbl3_np[off:off + size],
+                write_global(f"3D{l}", bits3[off * f:(off + size) * f],
                              pgs[f"3D{l}"])
             else:
                 self._pull_ctx3d_level(outs3[l], l, write)
         for ax in AXES:
+            bits2 = np.unpackbits(np.asarray(st2[ax][1]))
             for l in range(ctx.spec2.n_levels):
                 off, size = ctx.spec2.offsets[l], ctx.spec2.level_sizes[l]
                 if l in self.cfg.skip_levels_2d or l >= ctx.pg_level_2d:
-                    write_global(f"{ax}{l}", tbl2_nps[ax][off:off + size],
+                    write_global(f"{ax}{l}", bits2[off * f:(off + size) * f],
                                  pgs[f"{ax}{l}"])
         for (ax, l), (pq_d, covered, vbits) in pool_outs.items():
             cov = np.asarray(covered)
