@@ -54,16 +54,21 @@ def main():
     import threading
     devices_seen = threading.Event()
 
+    wd_s = float(os.environ.get("CNC_BENCH_WATCHDOG_S", "600"))
+
     def _watchdog():
-        if not devices_seen.wait(timeout=600):
-            log("bench watchdog: device backend unreachable after 600s")
+        if not devices_seen.wait(timeout=wd_s):
+            log(f"bench watchdog: device backend unreachable "
+                f"after {wd_s:.0f}s")
             print(json.dumps({
                 "metric": "rd_train_throughput",
                 "value": 0.0,
                 "unit": "samples/s",
                 "vs_baseline": 0.0,
             }), flush=True)
-            os._exit(3)
+            # rc 0 so the harness records the zero measurement rather than
+            # discarding the run as a crash
+            os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
     log("bench devices:", jax.devices())
