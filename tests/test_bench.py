@@ -1,0 +1,37 @@
+"""bench.py contract tests (no TPU required).
+
+The harness that records benchmark results parses exactly ONE JSON line
+from stdout and treats a nonzero exit as a crash, so the
+unreachable-backend watchdog must emit a well-formed zero measurement and
+exit 0 — otherwise a tunnel outage at bench time is recorded as a parse
+error instead of a measurement (reference anchor: the bench contract in
+the round driver; the measured quantity mirrors SURVEY.md §6's
+samples/sec wall-clock framing).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_watchdog_emits_zero_record_and_exits_zero():
+    env = dict(os.environ)
+    env["CNC_BENCH_WATCHDOG_S"] = "0"   # fire immediately
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import runpy, sys; sys.argv = ['bench.py'];"
+         "runpy.run_path('bench.py', run_name='__main__')"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "rd_train_throughput"
+    assert rec["value"] == 0.0
+    assert rec["unit"] == "samples/s"
+    assert rec["vs_baseline"] == 0.0

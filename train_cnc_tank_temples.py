@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--checkpoint_path", type=str, default=None,
                         help="enable checkpoint/auto-resume at this path")
     parser.add_argument("--checkpoint_every", type=int, default=1000)
+    parser.add_argument("--ctx_grad", type=int, default=1,
+                        help="0: stop-gradient the coarser-level context "
+                             "lookups in the rate estimate (skips their "
+                             "scatter-heavy backward; see EntropyConfig)")
     parser.add_argument("--decode_only", action="store_true",
                         help="rebuild the field from bitstreams/<scene>/ in "
                              "a fresh process, render the test set, report "
@@ -84,7 +88,8 @@ def main():
         entropy=EntropyConfig(
             n_features=args.n_features, sample_num=args.sample_num,
             max_context_layer_num=args.max_context_layer_num,
-            Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D),
+            Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D,
+            ctx_grad=bool(args.ctx_grad)),
         render=render,
         train=dataclasses.replace(TrainConfig(), lmbda=args.lmbda,
                                   max_steps=args.max_steps,
