@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""CPU-scale RD sweep at depth: curve-SHAPE evidence when no TPU is up.
+
+Runs the full pipeline (train -> encode -> decode -> re-eval -> quantize,
+train/driver.py:run_pipeline) at a toy-but-trained scale for several
+lambdas, writing the standard TSV rows.  This is NOT a flagship RD point —
+the grids/scene are small — but 2,000 steps is past the entropy model's
+undertrained regime, so it shows the things an RD curve must show:
+monotone size/quality tradeoff in lambda, near-zero codec delta at every
+point, and analytic-vs-coded size agreement (reference anchor: the lambda
+sweep protocol of train_CNC_nerf_synthetic.py:71-133 + BASELINE.md).
+
+    nice -n 19 python tools/rd_sweep_cpu.py --steps 2000 \
+        --lmbdas 7e-4,1e-3,2e-3,4e-3
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")   # sitecustomize imports jax first
+
+from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
+                            RenderConfig, TrainConfig)
+from cnc_tpu.data import scenes
+from cnc_tpu.train import driver
+
+
+def sweep_config(lmbda: float, steps: int) -> CNCConfig:
+    """tests/test_pipeline.tiny_rd_config scaled to a real depth: the LR
+    schedule keeps the reference's proportions (warmup 5%, decays at
+    45/60/75/85/95% of max_steps, driver :167-294)."""
+    ms = tuple(int(steps * f) for f in (0.45, 0.6, 0.75, 0.85, 0.95))
+    return CNCConfig(
+        model=ModelConfig(n_features_per_level=2, n_neurons=32,
+                          resolutions_3d=(10, 18, 34, 66),
+                          resolutions_2d=(18, 34),
+                          log2_hashmap_size=10, log2_hashmap_size_2D=8,
+                          pe_num_freqs=4),
+        entropy=EntropyConfig(n_features=2, sample_num=512,
+                              max_context_layer_num=2, Pg_level=4,
+                              Pg_level_2D=2, skip_levels_3d=(0, 1),
+                              skip_levels_2d=(0,), Rb=16,
+                              pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
+                              sample_num_2d=256, v_ctx_cap=1 << 11,
+                              max_points_per_chunk=1 << 14),
+        render=dataclasses.replace(
+            RenderConfig(), render_step_size=0.05, occ_resolution=16,
+            occ_warmup_steps=64, sample_budget=1 << 11, march_block=16,
+            eval_chunk_rays=2048),
+        train=dataclasses.replace(
+            TrainConfig(), init_batch_size=256, min_ray_bucket=256,
+            max_ray_bucket=1024, target_sample_batch_size=1 << 11,
+            lmbda=lmbda, warmup_iters=max(10, steps // 20),
+            lr_milestones=ms, lr=6e-3),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--lmbdas", type=str, default="7e-4,1e-3,2e-3,4e-3")
+    ap.add_argument("--out_root", type=str, default=".")
+    args = ap.parse_args()
+
+    ds = scenes.ProceduralDataset("blocks", n_images=8, width=64, height=64,
+                                  n_steps_gt=128)
+    test = scenes.ProceduralDataset("blocks", n_images=2, width=64, height=64,
+                                    split="test", n_steps_gt=128)
+    for ls in args.lmbdas.split(","):
+        lmbda = float(ls)
+        cfg = sweep_config(lmbda, args.steps)
+        scene = f"cpu_rd_l{ls}"
+        t0 = time.time()
+        res = driver.run_pipeline(
+            cfg, ds, test, scene=scene, out_root=args.out_root,
+            max_steps=args.steps, max_eval_images=2,
+            log_fn=lambda *a: print(f"[{scene}]", *a, flush=True))
+        driver.append_result_row(res, scene, "Procedural-CPU-RD",
+                                 out_root=args.out_root)
+        print(f"[{scene}] lambda={lmbda:g} steps={args.steps} "
+              f"psnr={res.psnr:.2f} codec={res.psnr_codec:.2f} "
+              f"size={res.total_size_MB():.4f}MB "
+              f"est={res.embed_MB_est:.4f} coded={res.embed_MB_codec:.4f} "
+              f"wall={time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
