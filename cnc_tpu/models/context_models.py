@@ -140,6 +140,31 @@ def _segment_tail_values(x: jnp.ndarray, seg: jnp.ndarray, valid: jnp.ndarray,
                                 mode="drop")
 
 
+def _window_slices(a: Dict, names, v_off: int, start_v, end_v, w: int,
+                   v_total: int):
+    """Slice [start_v, start_v+w) of each named level buffer, end-safe.
+
+    A window of static capacity w whose dynamic start lies near the end of
+    the level's vertex segment would run past the concatenated buffer's end
+    for the LAST level; XLA then clamps the slice start BACKWARD, silently
+    shifting every element — the tail entries' vertices land past the naive
+    `arange(w) < end_v - start_v` mask and pool to "uncovered" (a decode
+    left such entries at the +1 default while the pn prior read their
+    trained sign: the round-3 desync bug).  This helper clamps the start
+    itself to min(start_v, v_total - w) and returns a `valid` mask marking
+    the true [start_v, end_v) window inside the shifted slice, so callers
+    stay exact for every window position.  Shifted-in head elements carry
+    slots of earlier entries (clipped by callers) and are valid=False.
+    """
+    start_c = jnp.minimum(start_v, v_total - w)
+    outs = [jax.lax.dynamic_slice(a[n], (v_off + start_c,), (w,))
+            for n in names]
+    i = jnp.arange(w)
+    shift = start_v - start_c
+    valid = (i >= shift) & (i < shift + (end_v - start_v))
+    return outs, valid
+
+
 class ContextModels:
     """CNC entropy model over four binarized hash tables.
 
@@ -597,7 +622,20 @@ class ContextModels:
         } for ax in ("xy", "xz", "yz")}
         return cache
 
+    def _check_binaries(self, binaries):
+        # Rb is BOTH the entropy block size and the occupancy resolution the
+        # footprint/pn machinery assumes (reference couples them the same
+        # way, utils_bpp_acc.py:194-228 with binary_vxl 128^3 and Rb=128).
+        # A RenderConfig.occ_resolution != Rb silently produced garbage pn
+        # dilation (round-3 sweep config) — fail loudly instead.
+        if binaries.shape != (self.rb,) * 3:
+            raise ValueError(
+                f"occupancy grid shape {binaries.shape} != (Rb,)*3 with "
+                f"Rb={self.rb}: EntropyConfig.Rb must equal "
+                "RenderConfig.occ_resolution")
+
     def refresh_cache(self, binaries: jnp.ndarray, old_cache=None) -> Dict:
+        self._check_binaries(binaries)
         fn = getattr(self, "_refresh_jit", None)
         if fn is None:
             fn = jax.jit(self._refresh_impl)
@@ -781,11 +819,9 @@ class ContextModels:
             start_e = jnp.round((t.n_entries - t.sample_n) * u).astype(jnp.int32)
             start_v = a["cum"][t.c_off + start_e]
             end_v = a["cum"][t.c_off + start_e + t.sample_n]
-            pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,),
-                                        (t.max_win_pts,))
-            ve = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
-                                       (t.max_win_pts,))
-            vvalid = jnp.arange(t.max_win_pts) < (end_v - start_v)
+            (pos, ve), vvalid = _window_slices(
+                a, ("pos_flat", "vert_entry"), t.v_off, start_v, end_v,
+                t.max_win_pts, t.n_vertices)
             evals = jax.lax.dynamic_slice(a["entry_values"],
                                           (t.e_off + start_e,), (t.sample_n,))
             parts.append(dict(level=l, pos=pos, slot=ve - start_e,
@@ -884,12 +920,10 @@ class ContextModels:
         a = (self.table_arrays if tbls is None else tbls)["2d"]
         start_v = a["cum"][t.c_off + start_e]
         end_v = a["cum"][t.c_off + start_e + n_e]
-        coords = jax.lax.dynamic_slice(a["coords"], (t.v_off + start_v,), (w,))
-        blocks = jax.lax.dynamic_slice(a["block_id"], (t.v_off + start_v,),
-                                       (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
-                                      (w,)) - start_e
-        valid = jnp.arange(w) < (end_v - start_v)
+        (coords, blocks, slots), valid = _window_slices(
+            a, ("coords", "block_id", "vert_entry"), t.v_off, start_v, end_v,
+            w, t.n_points)
+        slots = slots - start_e
         evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
                                       (n_e,))
 
@@ -956,10 +990,10 @@ class ContextModels:
         r = t.resolution
         start_v = a["cum"][t.c_off + start_e]
         end_v = a["cum"][t.c_off + start_e + n_e]
-        pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,), (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
-                                      (w,)) - start_e
-        valid = jnp.arange(w) < (end_v - start_v)
+        (pos, slots), valid = _window_slices(
+            a, ("pos_flat", "vert_entry"), t.v_off, start_v, end_v, w,
+            t.n_vertices)
+        slots = slots - start_e
         evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
                                       (n_e,))
 
@@ -1004,6 +1038,7 @@ class ContextModels:
     # (it reuses one process's in-memory probabilities, utils_bpp_acc.py:
     # 81-110).
     def refresh_cache_int(self, binaries: jnp.ndarray) -> Dict:
+        self._check_binaries(binaries)
         fn = getattr(self, "_refresh_int_jit", None)
         if fn is None:
             fn = jax.jit(self._refresh_codec_impl)
@@ -1056,10 +1091,10 @@ class ContextModels:
         r = t.resolution
         start_v = a["cum"][t.c_off + start_e]
         end_v = a["cum"][t.c_off + start_e + n_e]
-        pos = jax.lax.dynamic_slice(a["pos_flat"], (t.v_off + start_v,), (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
-                                      (w,)) - start_e
-        valid = jnp.arange(w) < (end_v - start_v)
+        (pos, slots), valid = _window_slices(
+            a, ("pos_flat", "vert_entry"), t.v_off, start_v, end_v, w,
+            t.n_vertices)
+        slots = slots - start_e
         evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
                                       (n_e,))
         mask = cache_i["mask3d"][self.mask3d_offsets[level] + pos] & valid
@@ -1107,10 +1142,10 @@ class ContextModels:
         a = (self.table_arrays if tbls is None else tbls)["2d"]
         start_v = a["cum"][t.c_off + start_e]
         end_v = a["cum"][t.c_off + start_e + n_e]
-        coords = jax.lax.dynamic_slice(a["coords"], (t.v_off + start_v,), (w,))
-        slots = jax.lax.dynamic_slice(a["vert_entry"], (t.v_off + start_v,),
-                                      (w,)) - start_e
-        valid = jnp.arange(w) < (end_v - start_v)
+        (coords, slots), valid = _window_slices(
+            a, ("coords", "vert_entry"), t.v_off, start_v, end_v, w,
+            t.n_points)
+        slots = slots - start_e
         evals = jax.lax.dynamic_slice(a["entry_values"], (t.e_off + start_e,),
                                       (n_e,))
         x = coords >> 16

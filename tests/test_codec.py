@@ -188,3 +188,80 @@ def test_device_pq_matches_host_pq():
                 jnp.asarray(msum), jnp.asarray(wsum)))
         assert got.dtype == np.uint16
         np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_tail_window_coverage(tmp_path):
+    """Round-3 desync regression: the LAST chunk of the LAST 3D context
+    level slices a max-window of w vertices whose start can lie within w of
+    the concatenated buffer's end; XLA clamps the dynamic_slice start
+    BACKWARD, which (before the _window_slices fix) silently shifted the
+    window so the tail entries' vertices fell past the validity mask and
+    the entries pooled as "uncovered" — decode then left them at +1 while
+    the pn prior read their trained sign, desyncing every downstream 2D
+    stream (reference counterpart: encode_binary_vxl chunking,
+    utils_bpp_acc.py:798-858, which keeps ragged chunks instead).
+
+    Forces multi-chunk coding with a small max_points_per_chunk and asserts
+    from first principles that EVERY entry with at least one footprint-valid
+    vertex is reconstructed to its trained sign, and that the pn fraction
+    planes computed from the decoded table are bit-identical to the
+    encoder's."""
+    import dataclasses
+
+    from cnc_tpu.codec import intctx
+
+    ecfg, spec3, spec2 = tiny_setup()
+    ecfg = dataclasses.replace(ecfg, max_points_per_chunk=1 << 13)
+    ctx = cm.ContextModels(ecfg, spec3, spec2)
+    cd = codec_mod.CNCCodec(ctx)
+    for l, (_, n_chunks, _) in cd.chunks3d.items():
+        if l == ctx.ctx_levels_3d[-1]:
+            assert n_chunks > 1, "config must force chunking on the last level"
+
+    rng = np.random.default_rng(3)
+    ent_params = ctx.init_params(jax.random.PRNGKey(5))
+    tables = {}
+    for name, spec in (("xyz", spec3), ("xy", spec2), ("xz", spec2),
+                       ("yz", spec2)):
+        raw = rng.standard_normal((spec.total_entries, 2)).astype(np.float32)
+        raw -= 0.3  # bias toward -1 so un-coded +1 defaults are visible
+        tables[name] = ste_ops.ste_binary(jnp.asarray(raw))
+    binaries = jnp.asarray(rng.random((16, 16, 16)) < 0.2)
+    out_dir = str(tmp_path)
+
+    pgs, _, _ = cd.encode(ent_params, tables, binaries, out_dir)
+    rec = cd.decode(ent_params, binaries, pgs, out_dir)  # raises on desync
+
+    cache = ctx.refresh_cache_int(binaries)
+    mask3d = np.asarray(cache["mask3d"])
+    sign3 = np.asarray(intctx.sign_table(tables["xyz"]))
+    rec3 = np.asarray(rec["xyz"].astype(jnp.int32))
+    for l in ctx.ctx_levels_3d:
+        t = ctx.tables3d[l]
+        arrs = ctx.level_arrays_np("3d", l)
+        valid_v = mask3d[ctx.mask3d_offsets[l] + arrs["pos_flat"]]
+        # entry covered iff >=1 footprint-valid vertex in its cum window
+        cum = arrs["cum"].astype(np.int64)
+        starts = np.minimum(cum[:-1], valid_v.size - 1)
+        has_valid = np.add.reduceat(valid_v.astype(np.int64),
+                                    starts)[:t.n_entries] > 0
+        has_valid &= (cum[1:] > cum[:-1])[:t.n_entries]
+        slots = arrs["entry_values"][:t.n_entries][has_valid]
+        np.testing.assert_array_equal(
+            rec3[t.offset + slots], sign3[t.offset + slots],
+            err_msg=f"3D level {l}: covered entry not reconstructed")
+    # the desync channel itself: pn planes from decoded vs trained tables
+    frac = cd._frac_fn()
+    for ax in codec_mod.AXES:
+        np.testing.assert_array_equal(
+            np.asarray(frac(jnp.asarray(rec3), cache["pn"][ax])),
+            np.asarray(frac(jnp.asarray(sign3), cache["pn"][ax])),
+            err_msg=f"pn fraction plane {ax} differs after decode")
+
+
+def test_refresh_rejects_mismatched_occupancy():
+    """EntropyConfig.Rb must equal the occupancy grid resolution; a mismatch
+    silently produced garbage pn dilation before the loud check."""
+    ctx = cm.ContextModels(*tiny_setup())
+    with pytest.raises(ValueError, match="occ_resolution"):
+        ctx.refresh_cache_int(jnp.zeros((32, 32, 32), bool))

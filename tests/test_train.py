@@ -72,6 +72,7 @@ def test_warm_compile_then_fit():
                               skip_levels_2d=(0,), Rb=16,
                               pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
                               sample_num_2d=256, v_ctx_cap=1 << 11),
+        render=dataclasses.replace(cfg.render, occ_resolution=16),
         train=dataclasses.replace(cfg.train, lmbda=2e-3))
     ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,
                                   n_steps_gt=64)
@@ -101,6 +102,7 @@ def test_rate_update_interval():
                               skip_levels_2d=(0,), Rb=16,
                               pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
                               sample_num_2d=256, v_ctx_cap=1 << 11),
+        render=dataclasses.replace(cfg.render, occ_resolution=16),
         train=dataclasses.replace(cfg.train, lmbda=2e-3,
                                   rate_update_interval=2))
     ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,

@@ -32,31 +32,42 @@ from cnc_tpu.data import scenes
 from cnc_tpu.train import driver
 
 
-def sweep_config(lmbda: float, steps: int) -> CNCConfig:
+def sweep_config(lmbda: float, steps: int, size: str = "small") -> CNCConfig:
     """tests/test_pipeline.tiny_rd_config scaled to a real depth: the LR
     schedule keeps the reference's proportions (warmup 5%, decays at
-    45/60/75/85/95% of max_steps, driver :167-294)."""
+    45/60/75/85/95% of max_steps, driver :167-294).
+
+    size='small' uses grids big enough that coded table bits (tens of KB)
+    dominate the per-stream coder overhead — 'tiny' sizes measured sub-KB
+    streams where termination bytes are ~20% of the total and the curve
+    shape drowns."""
     ms = tuple(int(steps * f) for f in (0.45, 0.6, 0.75, 0.85, 0.95))
+    if size == "tiny":
+        res3, res2, h3, h2 = (10, 18, 34, 66), (18, 34), 10, 8
+        budget = 1 << 11
+    else:
+        res3, res2, h3, h2 = (10, 18, 34, 66, 130), (18, 34, 66), 12, 10
+        budget = 1 << 12
     return CNCConfig(
         model=ModelConfig(n_features_per_level=2, n_neurons=32,
-                          resolutions_3d=(10, 18, 34, 66),
-                          resolutions_2d=(18, 34),
-                          log2_hashmap_size=10, log2_hashmap_size_2D=8,
+                          resolutions_3d=res3,
+                          resolutions_2d=res2,
+                          log2_hashmap_size=h3, log2_hashmap_size_2D=h2,
                           pe_num_freqs=4),
-        entropy=EntropyConfig(n_features=2, sample_num=512,
-                              max_context_layer_num=2, Pg_level=4,
-                              Pg_level_2D=2, skip_levels_3d=(0, 1),
+        entropy=EntropyConfig(n_features=2, sample_num=1024,
+                              max_context_layer_num=2, Pg_level=len(res3),
+                              Pg_level_2D=len(res2), skip_levels_3d=(0, 1),
                               skip_levels_2d=(0,), Rb=16,
-                              pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
-                              sample_num_2d=256, v_ctx_cap=1 << 11,
-                              max_points_per_chunk=1 << 14),
+                              pn_coords_cap=1 << 15, pn_frac_sample_cap=None,
+                              sample_num_2d=512, v_ctx_cap=1 << 12,
+                              max_points_per_chunk=1 << 15),
         render=dataclasses.replace(
-            RenderConfig(), render_step_size=0.05, occ_resolution=16,
-            occ_warmup_steps=64, sample_budget=1 << 11, march_block=16,
+            RenderConfig(), render_step_size=0.03, occ_resolution=16,
+            occ_warmup_steps=64, sample_budget=budget, march_block=16,
             eval_chunk_rays=2048),
         train=dataclasses.replace(
             TrainConfig(), init_batch_size=256, min_ray_bucket=256,
-            max_ray_bucket=1024, target_sample_batch_size=1 << 11,
+            max_ray_bucket=2048, target_sample_batch_size=budget,
             lmbda=lmbda, warmup_iters=max(10, steps // 20),
             lr_milestones=ms, lr=6e-3),
     )
@@ -66,21 +77,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lmbdas", type=str, default="7e-4,1e-3,2e-3,4e-3")
+    ap.add_argument("--size", type=str, default="small",
+                    choices=["tiny", "small"])
     ap.add_argument("--out_root", type=str, default=".")
     args = ap.parse_args()
 
-    ds = scenes.ProceduralDataset("blocks", n_images=8, width=64, height=64,
-                                  n_steps_gt=128)
-    test = scenes.ProceduralDataset("blocks", n_images=2, width=64, height=64,
-                                    split="test", n_steps_gt=128)
+    ds = scenes.ProceduralDataset("blocks", n_images=12, width=96, height=96,
+                                  n_steps_gt=192)
+    test = scenes.ProceduralDataset("blocks", n_images=4, width=96, height=96,
+                                    split="test", n_steps_gt=192)
     for ls in args.lmbdas.split(","):
         lmbda = float(ls)
-        cfg = sweep_config(lmbda, args.steps)
-        scene = f"cpu_rd_l{ls}"
+        cfg = sweep_config(lmbda, args.steps, args.size)
+        scene = f"cpu_rd_{args.size}_l{ls}"
         t0 = time.time()
         res = driver.run_pipeline(
             cfg, ds, test, scene=scene, out_root=args.out_root,
-            max_steps=args.steps, max_eval_images=2,
+            max_steps=args.steps, max_eval_images=4,
             log_fn=lambda *a: print(f"[{scene}]", *a, flush=True))
         driver.append_result_row(res, scene, "Procedural-CPU-RD",
                                  out_root=args.out_root)
