@@ -374,11 +374,16 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, max_steps: Optional[int] = None, log_every: int = 200,
-            log_fn=print):
+            log_fn=print, step_callback=None):
         """Train until the absolute step counter passes max_steps (inclusive,
         matching the reference's `range(max_steps + 1)` loop, driver :302).
         Resumed runs continue to the configured total and a completed run is
-        a no-op."""
+        a no-op.
+
+        step_callback(step) is invoked after each completed step's host sync
+        (the loop syncs per step via int(aux[...]), so wall time between
+        callbacks is true per-step latency); bench.py uses it for its
+        deadline-bounded incremental throughput estimate."""
         cfg = self.cfg
         max_steps = max_steps if max_steps is not None else cfg.train.max_steps
         tic = time.time()
@@ -438,6 +443,8 @@ class Trainer:
                 log_fn(msg)
             self.step += 1
             local += 1
+            if step_callback is not None:
+                step_callback(s)
         self._last_ent_cache = ent_cache
         return time.time() - tic
 

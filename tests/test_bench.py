@@ -17,6 +17,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_deadline_emits_record_and_exits_zero():
+    """Driver-window deadline: bench must emit its best-available estimate
+    (zero here — the deadline fires before any step runs) and exit 0, so a
+    contended table build can never turn the round's benchmark into an
+    unparsed rc=124 (round-1 failure mode, BENCH_r01.json)."""
+    env = dict(os.environ)
+    env["CNC_BENCH_DEADLINE_S"] = "0"   # fire ~1s after the thread starts
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import runpy, sys; sys.argv = ['bench.py'];"
+         "runpy.run_path('bench.py', run_name='__main__')"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "rd_train_throughput"
+    assert rec["unit"] == "samples/s"
+    assert "deadline" in res.stderr
+
+
 def test_watchdog_emits_zero_record_and_exits_zero():
     env = dict(os.environ)
     env["CNC_BENCH_WATCHDOG_S"] = "0"   # fire immediately
