@@ -88,6 +88,24 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
     log_fn(f"entropy tables built in {time.time() - t0:.1f}s")
     trainer = Trainer(cfg, train_dataset, entropy=entropy, mesh=mesh)
     trainer.warm_compile(log_fn=log_fn)   # concurrent compiles (wall ~ max)
+    return run_with_trainer(trainer, test_dataset, scene, out_root=out_root,
+                            max_steps=max_steps,
+                            max_eval_images=max_eval_images, log_fn=log_fn)
+
+
+def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
+                     out_root: str = ".", max_steps: Optional[int] = None,
+                     max_eval_images: Optional[int] = None,
+                     log_fn=print) -> PipelineResult:
+    """Pipeline body over a prebuilt (possibly reset_state-ed) Trainer.
+
+    Split out of run_pipeline so an in-process RD sweep can reuse one
+    Trainer's compiled programs and entropy tables across λ points — the
+    tunneled TPU backend cannot serialize executables, so fresh-process
+    points would each repay the ~5-10 min table-build + compile fixed cost
+    (tools/rd_sweep_depth.py)."""
+    cfg = trainer.cfg
+    entropy = trainer.entropy
     log_fn("training...")
     elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
 

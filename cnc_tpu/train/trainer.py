@@ -15,6 +15,7 @@ TPU adaptations:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 import time
@@ -89,6 +90,42 @@ class Trainer:
         if cp and os.path.exists(ckpt.norm_path(cp)):
             ckpt.load_checkpoint(cp, self)
 
+    # ---------------------------------------------------------------- reset
+    def reset_state(self, lmbda: Optional[float] = None,
+                    rate_update_interval: Optional[int] = None,
+                    seed: Optional[int] = None):
+        """Reinitialize ALL training state (params, optimizer states,
+        occupancy grid, PRNG stream, step counter) while keeping every
+        compiled program: λ and rate_update_interval enter the step only as
+        the runtime `scale` scalar (_rate_scale) and a host-side modulo, so
+        an in-process multi-point RD sweep reuses the jit caches — the
+        tunneled TPU backend cannot serialize executables across processes,
+        which makes per-process recompiles (~5-10 min) the dominant fixed
+        cost this avoids.  Matches a fresh Trainer(cfg', dataset, entropy)
+        bit-for-bit (same seed ⇒ same PRNG stream as the reference's fixed
+        seed-42 runs, train_CNC_nerf_synthetic.py:136)."""
+        cfg = self.cfg
+        tr = cfg.train
+        if lmbda is not None or rate_update_interval is not None:
+            tr = dataclasses.replace(
+                tr, lmbda=tr.lmbda if lmbda is None else lmbda,
+                rate_update_interval=(tr.rate_update_interval
+                                      if rate_update_interval is None
+                                      else rate_update_interval))
+            self.cfg = dataclasses.replace(cfg, train=tr)
+        seed = tr.seed if seed is None else seed
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        self.params = rf.init_radiance_field(k1, self.cfg.model)
+        self.opt_state_rf = self.opt_rf.init(self.params)
+        if self.entropy is not None:
+            self.ent_params = self.entropy.init_params(k2)
+            self.opt_state_ent = self.opt_ent.init(self.ent_params)
+        self.occ_state = occ.init_occ_grid(self.aabb,
+                                           self.cfg.render.occ_resolution)
+        self.num_rays = self.cfg.train.init_batch_size
+        self.step = 0
+
     # ------------------------------------------------------------------ occ
     def _occ_eval_fn(self, params):
         def fn(x):
@@ -161,18 +198,22 @@ class Trainer:
 
     # the 2D-plane and 3D-grid rate gradients compile as separate programs:
     # their combined graph exceeds what the TPU compiler tolerates
+    def _rate_scale(self) -> float:
+        """λ·K / total_params — the rate-loss weight, passed to the rate
+        jits as a RUNTIME scalar so λ / rate_update_interval changes (RD
+        sweeps, reset_state) never recompile.  Scaling by the interval keeps
+        the time-averaged rate pressure equal to the reference's every-step
+        objective (train_CNC_nerf_synthetic.py:383)."""
+        return (self.cfg.train.lmbda * self.cfg.train.rate_update_interval
+                / self.entropy.total_param_count)
+
     def _rate2d_grad_fn(self):
         fn = self._jit_cache.get("rate2d_grad")
         if fn is not None:
             return fn
         cfg = self.cfg
-        # rate grads apply every rate_update_interval-th step; scaling by the
-        # interval keeps the time-averaged rate pressure equal to the
-        # reference's every-step objective (train_CNC_nerf_synthetic.py:383)
-        scale = (cfg.train.lmbda * cfg.train.rate_update_interval
-                 / self.entropy.total_param_count)
 
-        def loss(params, ent_params, key, ent_cache, tbls):
+        def loss(params, ent_params, scale, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
             bits = self.entropy.rate_bits_2d(ent_params, tables, key,
                                              ent_cache, tbls)
@@ -189,11 +230,8 @@ class Trainer:
         if fn is not None:
             return fn
         cfg = self.cfg
-        # see _rate2d_grad_fn on the rate_update_interval factor
-        scale = (cfg.train.lmbda * cfg.train.rate_update_interval
-                 / self.entropy.total_param_count)
 
-        def loss(params, ent_params, key, ent_cache, tbls):
+        def loss(params, ent_params, scale, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
             bits = self.entropy.rate_bits_3d(ent_params, tables["xyz"], key,
                                              ent_cache, tbls)
@@ -212,12 +250,12 @@ class Trainer:
             return loss
         from jax.sharding import PartitionSpec as P
 
-        def body(params, ent_params, key, ent_cache, tbls):
+        def body(params, ent_params, scale, key, ent_cache, tbls):
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-            val, bits = loss(params, ent_params, key, ent_cache, tbls)
+            val, bits = loss(params, ent_params, scale, key, ent_cache, tbls)
             return jax.lax.pmean(val, "data"), jax.lax.pmean(bits, "data")
 
-        return jax.shard_map(body, mesh=self.mesh, in_specs=(P(),) * 5,
+        return jax.shard_map(body, mesh=self.mesh, in_specs=(P(),) * 6,
                              out_specs=(P(), P()), check_vma=False)
 
     def _apply_fn(self, with_rate: bool):
@@ -255,14 +293,15 @@ class Trainer:
             if log_fn:
                 jax.block_until_ready(g_rf["xyz"])
                 log_fn("render-grad compiled; compiling 2D rate-grad...")
+            scale = self._rate_scale()
             (g2, ge2), bits2d = self._rate2d_grad_fn()(
-                self.params, self.ent_params, key, ent_cache,
+                self.params, self.ent_params, scale, key, ent_cache,
                 self.entropy.table_arrays)
             if log_fn:
                 jax.block_until_ready(g2["xyz"])
                 log_fn("2D rate-grad compiled; compiling 3D rate-grad...")
             (g3, ge3), bits3d = self._rate3d_grad_fn()(
-                self.params, self.ent_params, key, ent_cache,
+                self.params, self.ent_params, scale, key, ent_cache,
                 self.entropy.table_arrays)
             if log_fn:
                 jax.block_until_ready(g3["xyz"])
@@ -320,11 +359,11 @@ class Trainer:
         if use_entropy:
             jobs["refresh"] = (self.entropy.refresh_cache, binaries, ent_cache)
             jobs["rate2d"] = (self._rate2d_grad_fn(), self.params,
-                              self.ent_params, k, ent_cache,
-                              self.entropy.table_arrays)
+                              self.ent_params, self._rate_scale(), k,
+                              ent_cache, self.entropy.table_arrays)
             jobs["rate3d"] = (self._rate3d_grad_fn(), self.params,
-                              self.ent_params, k, ent_cache,
-                              self.entropy.table_arrays)
+                              self.ent_params, self._rate_scale(), k,
+                              ent_cache, self.entropy.table_arrays)
         g_rate = self.params if use_entropy else None
         jobs["apply"] = (self._apply_fn(use_entropy), self.params,
                          self.ent_params, self.opt_state_rf,

@@ -117,11 +117,11 @@ def cost(n_dev: int) -> dict:
         tr._render_grad_fn(bucket), tr.params, tr.occ_state.binaries,
         rays.origins, rays.viewdirs, pixels, bkgd, k) / 1e9, 3)
     out["rate3d_gflops_per_dev"] = round(flops(
-        tr._rate3d_grad_fn(), tr.params, tr.ent_params, k, ent_cache,
-        tr.entropy.table_arrays) / 1e9, 3)
+        tr._rate3d_grad_fn(), tr.params, tr.ent_params, tr._rate_scale(), k,
+        ent_cache, tr.entropy.table_arrays) / 1e9, 3)
     out["rate2d_gflops_per_dev"] = round(flops(
-        tr._rate2d_grad_fn(), tr.params, tr.ent_params, k, ent_cache,
-        tr.entropy.table_arrays) / 1e9, 3)
+        tr._rate2d_grad_fn(), tr.params, tr.ent_params, tr._rate_scale(), k,
+        ent_cache, tr.entropy.table_arrays) / 1e9, 3)
     return out
 
 

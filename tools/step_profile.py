@@ -68,16 +68,17 @@ def main():
     timed("render_grad", lambda: tr._render_grad_fn(bucket)(
         tr.params, tr.occ_state.binaries, rays.origins, rays.viewdirs,
         pixels, bkgd, key))
+    scale = tr._rate_scale()
     timed("rate2d_grad", lambda: tr._rate2d_grad_fn()(
-        tr.params, tr.ent_params, key, cache, tbls))
+        tr.params, tr.ent_params, scale, key, cache, tbls))
     timed("rate3d_grad", lambda: tr._rate3d_grad_fn()(
-        tr.params, tr.ent_params, key, cache, tbls))
+        tr.params, tr.ent_params, scale, key, cache, tbls))
     g_rf, _ = tr._render_grad_fn(bucket)(
         tr.params, tr.occ_state.binaries, rays.origins, rays.viewdirs,
         pixels, bkgd, key)
-    (g2, ge2), _ = tr._rate2d_grad_fn()(tr.params, tr.ent_params, key, cache,
-                                        tbls)
-    timed("apply", lambda: tr._apply_fn()(
+    (g2, ge2), _ = tr._rate2d_grad_fn()(tr.params, tr.ent_params, scale,
+                                        key, cache, tbls)
+    timed("apply", lambda: tr._apply_fn(True)(
         tr.params, tr.ent_params, tr.opt_state_rf, tr.opt_state_ent,
         g_rf, g2, ge2))
     timed("occ_update", lambda: tr._occ_step(False)(
