@@ -133,3 +133,45 @@ def test_run_pipeline_multichip(tmp_path):
     # path is identical; only training is sharded)
     assert abs(res.psnr - res.psnr_codec) < 0.05, (res.psnr, res.psnr_codec)
     assert res.embed_MB_codec > 0
+
+
+def test_reset_state_reuses_compiles_and_reproduces(tmp_path):
+    """Trainer.reset_state (the in-process RD-sweep primitive,
+    tools/rd_sweep_depth.py) must (a) keep every compiled program — λ and
+    rate_update_interval enter the rate jits only as the runtime scale
+    scalar — and (b) reproduce a fresh same-seed run bit-for-bit, so a
+    multi-point sweep is equivalent to independent processes (the
+    reference's fixed seed-42 protocol, train_CNC_nerf_synthetic.py:136)."""
+    from cnc_tpu.train.trainer import Trainer
+
+    cfg = tiny_rd_config()
+    ds = scenes.ProceduralDataset("sphere", n_images=4, width=32, height=32,
+                                  n_steps_gt=64)
+    entropy = driver.build_entropy(cfg)
+    tr = Trainer(cfg, ds, entropy=entropy)
+    quiet = lambda *a: None
+    res_a = driver.run_with_trainer(tr, ds, scene="rs_a",
+                                    out_root=str(tmp_path), max_steps=12,
+                                    max_eval_images=1, log_fn=quiet)
+
+    jits_after_a = dict(tr._jit_cache)
+    scale_a = tr._rate_scale()
+    tr.reset_state(lmbda=4e-3, rate_update_interval=2)
+    assert tr.step == 0 and tr.num_rays == cfg.train.init_batch_size
+    assert tr.cfg.train.lmbda == 4e-3
+    assert tr.cfg.train.rate_update_interval == 2
+    # λ·K/total: 2x from λ and 2x from K
+    assert np.isclose(tr._rate_scale(), scale_a * 4.0)
+    # the jit cache survives the reset untouched (same function objects)
+    for k, v in jits_after_a.items():
+        assert tr._jit_cache.get(k) is v, k
+
+    # reset back to the original point: identical run, zero recompiles
+    tr.reset_state(lmbda=cfg.train.lmbda, rate_update_interval=1)
+    res_b = driver.run_with_trainer(tr, ds, scene="rs_b",
+                                    out_root=str(tmp_path), max_steps=12,
+                                    max_eval_images=1, log_fn=quiet)
+    assert res_b.psnr == res_a.psnr, (res_a.psnr, res_b.psnr)
+    assert res_b.embed_MB_codec == res_a.embed_MB_codec
+    for k, v in jits_after_a.items():
+        assert tr._jit_cache.get(k) is v, k
