@@ -19,6 +19,15 @@ measures, on real hardware:
 Numbers go to ARCHITECTURE.md; integration only happens if (1)/(2) beat the
 XLA floor by enough to matter end-to-end.
 
+VERDICT (measured v5e 2026-08-18, see ARCHITECTURE.md "Pallas probe
+verdict"): both kernels fail to compile at every table width 2^7..2^18.
+Mosaic's take_along_axis lowering asserts index.shape == source.shape, and
+its tpu.dynamic_gather rejects sources wider than one vreg (128 f32 lanes:
+"Multiple source vregs along gather dimension"); the serial scatter's
+dynamic lane RMW needs 128-aligned offsets ("cannot statically prove that
+index in dimension 1 is a multiple of 128").  XLA floors measured here:
+row-8 gather 15.2 ns/row, column scatter-add 9.8 ns/update.
+
 Usage: JAX_PLATFORMS=axon PYTHONPATH=/root/.axon_site:/root/repo \
          python -u tools/pallas_probe.py [n_indices] [log2_table]
 """
