@@ -199,6 +199,17 @@ class RenderConfig:
     sample_budget: int = 1 << 18          # target samples per train step (driver :169)
     sample_budget_slack: float = 1.25     # buffer capacity = budget * slack
     march_block: int = 64                 # steps marched per compaction block
+    # Visibility pruning before the differentiable field eval (the reference
+    # structure: estimator.sampling is @torch.no_grad and drops samples whose
+    # transmittance fell below early_stop_eps BEFORE rendering re-evaluates
+    # the field, occ_grid.py:88-239 + volrend.py:424-482; our round-1/2
+    # renderer instead evaluated fwd+bwd on every marched sample).  When set,
+    # a gradient-free density pass marks visible samples, which are compacted
+    # to visible_frac * sample_capacity slots for the full fwd+bwd — the
+    # gradients are identical (invisible samples carry zero weight and no
+    # grad path) unless the pruned buffer overflows, in which case the rays
+    # losing samples are masked out of the loss.  None = off.
+    visible_frac: Optional[float] = None
     eval_chunk_rays: int = 8192
     eval_samples_per_iter: int = 8    # per-round budget = chunk_rays * this
     eval_max_iters: int = 1024
@@ -206,6 +217,12 @@ class RenderConfig:
     @property
     def sample_capacity(self) -> int:
         return _round8(int(self.sample_budget * self.sample_budget_slack))
+
+    @property
+    def visible_capacity(self) -> Optional[int]:
+        if self.visible_frac is None:
+            return None
+        return _round8(max(8, int(self.sample_capacity * self.visible_frac)))
 
     @property
     def max_march_steps(self) -> int:

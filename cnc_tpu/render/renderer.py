@@ -29,15 +29,66 @@ def render_rays_train(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
                       rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                       key: jnp.ndarray, render_bkgd: jnp.ndarray,
                       capacity: Optional[int] = None,
-                      tables: Optional[Dict] = None) -> volrend.RenderedRays:
-    """One training render pass over a ray batch."""
+                      tables: Optional[Dict] = None,
+                      visible_capacity: Optional[int] = None
+                      ) -> volrend.RenderedRays:
+    """One training render pass over a ray batch.
+
+    With rcfg.visible_frac set (or an explicit visible_capacity), a
+    gradient-free density prefilter prunes invisible samples before the
+    differentiable field eval — the reference's structure exactly:
+    estimator.sampling runs under @torch.no_grad and drops samples whose
+    transmittance fell below early_stop_eps (occ_grid.py:88-239,
+    volrend.py:424-482), then `rendering` re-evaluates the field on the
+    survivors only.  Invisible samples carry zero rendering weight and no
+    gradient path, so pruning leaves the gradients bit-identical; the one
+    divergence — a pruned-buffer overflow — is surfaced via resume_ray so
+    the trainer can mask the affected rays out of the loss.
+    """
+    n_rays = rays_o.shape[0]
     cap = capacity or rcfg.sample_capacity
+    if visible_capacity is None and rcfg.visible_frac is not None:
+        visible_capacity = max(8, int(cap * rcfg.visible_frac)) // 8 * 8
     samples = marching.march_rays(rays_o, rays_d, binaries, aabb, key, rcfg, cap)
     pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
+    if tables is None:
+        tables = rf.quantized_tables(params, mcfg)
+    resume_ray = None
+    n_visible = None
+    if visible_capacity is not None and visible_capacity < cap:
+        from ..ops import scatter_ops
+
+        sig_pre = jax.lax.stop_gradient(
+            rf.query_density(params, mcfg, aabb, pos, tables=tables))
+        _, _, vis = volrend.render_weights(sig_pre, samples,
+                                           rcfg.early_stop_eps,
+                                           alpha_thre=rcfg.alpha_thre)
+        n_visible = jnp.sum(vis)
+        src, total = scatter_ops.compact_mask_indices(vis, visible_capacity)
+        valid2 = (jnp.arange(visible_capacity)
+                  < jnp.minimum(total, visible_capacity))
+        ray_id2 = jnp.where(valid2, samples.ray_id[src], n_rays - 1)
+        # overflow: the ray owning the last kept slot may have lost samples,
+        # and every later ray certainly did; march truncation composes in
+        resume_ray = jnp.where(total > visible_capacity,
+                               ray_id2[visible_capacity - 1],
+                               jnp.int32(n_rays))
+        if samples.resume_ray is not None:
+            resume_ray = jnp.minimum(resume_ray, samples.resume_ray)
+        samples = marching.RaySamples(
+            ray_id=ray_id2, t_mid=samples.t_mid[src], dt=samples.dt,
+            valid=valid2, num_samples=samples.num_samples)
+        pos, dirs = marching.sample_positions(samples, rays_o, rays_d)
     rgbs, sigmas = rf.forward(params, mcfg, aabb, pos, dirs, tables=tables)
-    return volrend.composite(rgbs, sigmas, samples, rays_o.shape[0],
-                             render_bkgd, rcfg.early_stop_eps,
-                             alpha_thre=rcfg.alpha_thre)
+    out = volrend.composite(rgbs, sigmas, samples, n_rays,
+                            render_bkgd, rcfg.early_stop_eps,
+                            alpha_thre=rcfg.alpha_thre)
+    if n_visible is not None:
+        # report the prefilter's TRUE visible count (the pruned buffer's own
+        # count saturates at its capacity) and the overflow resume point
+        out = out._replace(n_rendering_samples=n_visible,
+                           resume_ray=resume_ray)
+    return out
 
 
 def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,

@@ -34,6 +34,10 @@ class RenderedRays(NamedTuple):
     # must use this (adapting on the visible count under a saturated buffer
     # spirals: truncated rays lower the count, which grows the batch further)
     n_marched_samples: jnp.ndarray
+    # set by the visibility-pruned training path: first ray whose samples were
+    # dropped by buffer overflow (== n_rays when none were); the trainer masks
+    # rays at/after it out of the loss instead of training on partial renders
+    resume_ray: Optional[jnp.ndarray] = None
 
 
 def render_weights(sigmas: jnp.ndarray, samples: RaySamples,

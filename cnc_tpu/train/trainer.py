@@ -164,8 +164,18 @@ class Trainer:
                 params, cfg.model, cfg.render, self.aabb, binaries,
                 rays_o, rays_d, key, bkgd,
                 capacity=per_dev_cap if self.mesh is not None else None)
-            sq = jnp.sum((out.rgb - pixels) ** 2)
-            n_px = jnp.float32(pixels.size)
+            if out.resume_ray is not None:
+                # visibility-pruned path: rays that lost samples to a buffer
+                # overflow render partial colors — exclude them from the loss
+                # rather than training on them (renderer.render_rays_train)
+                rmask = (jnp.arange(pixels.shape[0])
+                         < out.resume_ray)[:, None]
+                sq = jnp.sum(jnp.where(rmask, (out.rgb - pixels) ** 2, 0.0))
+                n_px = jnp.maximum(jnp.sum(rmask).astype(jnp.float32) * 3.0,
+                                   3.0)
+            else:
+                sq = jnp.sum((out.rgb - pixels) ** 2)
+                n_px = jnp.float32(pixels.size)
             stats = jax.lax.stop_gradient(
                 (out.n_rendering_samples, out.n_marched_samples,
                  jnp.max(out.depth)))

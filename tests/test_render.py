@@ -246,3 +246,83 @@ class TestModelSmoke:
         assert np.all(np.isfinite(np.asarray(out.rgb)))
         np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_e),
                                    atol=2e-2)
+
+
+class TestVisibilityPrune:
+    """Visibility-pruned training render (renderer.render_rays_train with
+    visible_capacity; the reference's no-grad sampling prefilter,
+    occ_grid.py:88-239 + volrend.py:424-482)."""
+
+    def _setup(self):
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=64,
+                           resolutions_3d=(10, 18, 34),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=10,
+                           pe_num_freqs=4)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), mcfg)
+        # densify the field so transmittance actually saturates and the
+        # prefilter prunes a real fraction of samples: lift the density
+        # channel's bias (density = trunc_exp(h[...,0] - 1))
+        params = jax.tree.map(lambda x: x, params)  # deep-ish copy
+        params["mlp_base"] = dict(params["mlp_base"])
+        params["mlp_base"]["l1"] = dict(params["mlp_base"]["l1"])
+        params["mlp_base"]["l1"]["b"] = (
+            params["mlp_base"]["l1"]["b"].at[0].add(6.0))
+        binaries = jnp.ones((16, 16, 16), bool)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 16, 16)
+        o = rays.origins.reshape(-1, 3)
+        d = rays.viewdirs.reshape(-1, 3)
+        return mcfg, params, binaries, o, d
+
+    def test_outputs_and_grads_match_unpruned(self):
+        """With a prune buffer big enough for every visible sample, outputs
+        AND parameter gradients are identical to the unpruned render."""
+        mcfg, params, binaries, o, d = self._setup()
+        bkgd = jnp.ones(3)
+        pixels = jnp.full((o.shape[0], 3), 0.3)
+
+        def loss(p, vcap):
+            out = renderer.render_rays_train(p, mcfg, RCFG, AABB, binaries,
+                                             o, d, None, bkgd,
+                                             capacity=1 << 16,
+                                             visible_capacity=vcap)
+            return jnp.mean((out.rgb - pixels) ** 2), out
+
+        (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(params, None)
+        (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params,
+                                                                1 << 15)
+        assert out1.resume_ray is not None
+        assert int(out1.resume_ray) == o.shape[0]  # no overflow
+        # pruning really happened: fewer eval slots than the march buffer
+        assert int(out1.n_rendering_samples) < (1 << 15)
+        np.testing.assert_allclose(np.asarray(out0.rgb),
+                                   np.asarray(out1.rgb), atol=1e-6)
+        assert np.isclose(float(l0), float(l1), atol=1e-8)
+        for k in ("xyz", "xy", "xz", "yz"):
+            np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                       atol=1e-6, err_msg=k)
+        g0_mlp = jax.tree.leaves(g0["mlp_base"]) + jax.tree.leaves(
+            g0["mlp_head"])
+        g1_mlp = jax.tree.leaves(g1["mlp_base"]) + jax.tree.leaves(
+            g1["mlp_head"])
+        for a, b in zip(g0_mlp, g1_mlp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_overflow_sets_resume_ray(self):
+        """A too-small prune buffer reports the first ray that lost samples;
+        rays before it are still rendered exactly."""
+        mcfg, params, binaries, o, d = self._setup()
+        bkgd = jnp.ones(3)
+        out_full = renderer.render_rays_train(params, mcfg, RCFG, AABB,
+                                              binaries, o, d, None, bkgd,
+                                              capacity=1 << 16)
+        out = renderer.render_rays_train(params, mcfg, RCFG, AABB, binaries,
+                                         o, d, None, bkgd, capacity=1 << 16,
+                                         visible_capacity=512)
+        rr = int(out.resume_ray)
+        assert 0 <= rr < o.shape[0]
+        np.testing.assert_allclose(np.asarray(out.rgb)[:rr],
+                                   np.asarray(out_full.rgb)[:rr], atol=1e-6)

@@ -49,6 +49,12 @@ def main():
                         help="0: stop-gradient the coarser-level context "
                              "lookups in the rate estimate (skips their "
                              "scatter-heavy backward; see EntropyConfig)")
+    parser.add_argument("--visible_frac", type=float, default=None,
+                        help="prune invisible samples before the "
+                             "differentiable field eval, compacting to this "
+                             "fraction of the sample buffer (the reference's "
+                             "no-grad sampling prefilter, occ_grid.py:88); "
+                             "None = evaluate every marched sample")
     parser.add_argument("--rate_update_interval", type=int, default=1,
                         help="run the entropy rate gradients every K steps "
                              "(1 = reference schedule)")
@@ -78,7 +84,8 @@ def main():
             max_context_layer_num=args.max_context_layer_num,
             Pg_level=args.Pg_level, Pg_level_2D=args.Pg_level_2D,
             ctx_grad=bool(args.ctx_grad)),
-        render=RenderConfig(),
+        render=dataclasses.replace(
+            RenderConfig(), visible_frac=args.visible_frac),
         train=dataclasses.replace(TrainConfig(), lmbda=args.lmbda,
                                   weight_decay=weight_decay,
                                   max_steps=args.max_steps,

@@ -36,6 +36,12 @@ def main():
     parser.add_argument("--out_root", type=str, default=".")
     parser.add_argument("--multichip", action="store_true",
                         help="data-parallel training over all local devices")
+    parser.add_argument("--visible_frac", type=float, default=None,
+                        help="prune invisible samples before the "
+                             "differentiable field eval, compacting to this "
+                             "fraction of the sample buffer (the reference's "
+                             "no-grad sampling prefilter, occ_grid.py:88); "
+                             "None = evaluate every marched sample")
     parser.add_argument("--rate_update_interval", type=int, default=1,
                         help="run the entropy rate gradients every K steps "
                              "(1 = reference schedule)")
@@ -65,7 +71,8 @@ def main():
         train_ds = tanks.SubjectLoaderTanks(args.scene, args.data_root,
                                             args.train_split, num_rays=1024)
         test_ds = tanks.SubjectLoaderTanks(args.scene, args.data_root, "test")
-        render = RenderConfig(aabb=tuple(float(x) for x in aabb),
+        render = RenderConfig(visible_frac=args.visible_frac,
+                              aabb=tuple(float(x) for x in aabb),
                               near_plane=train_ds.NEAR,
                               render_step_size=step)
         dataset_name = "TanksAndTemple"
@@ -77,7 +84,7 @@ def main():
                                      height=256, split="train")
         test_ds = ProceduralDataset("blocks", n_images=8, width=256,
                                     height=256, split="test")
-        render = RenderConfig()
+        render = RenderConfig(visible_frac=args.visible_frac)
         dataset_name = "Procedural"
 
     cfg = CNCConfig(
