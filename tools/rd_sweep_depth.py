@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--n_features", type=int, default=4)
     ap.add_argument("--ctx_grad", type=int, default=0,
                     help="0 (default): the ng setting under validation")
+    ap.add_argument("--visible_frac", type=float, default=None,
+                    help="visibility-pruned render eval capacity fraction "
+                         "(renderer.render_rays_train); None = off")
     ap.add_argument("--deadline_s", type=float, default=1e9,
                     help="wall budget from process start; points that do "
                          "not fit are skipped")
@@ -91,7 +94,8 @@ def main():
         entropy=EntropyConfig(n_features=args.n_features,
                               sample_num=args.sample_num,
                               ctx_grad=bool(args.ctx_grad)),
-        render=RenderConfig(),
+        render=dataclasses.replace(RenderConfig(),
+                                   visible_frac=args.visible_frac),
         train=dataclasses.replace(TrainConfig(), lmbda=points[0][0],
                                   rate_update_interval=points[0][1],
                                   max_steps=args.max_steps),
@@ -159,6 +163,7 @@ def main():
         tail_s = max(120.0, wall - res.elapsed_train_s)
         rec = {
             "lmbda": lm, "interval": k, "ctx_grad": bool(args.ctx_grad),
+            "visible_frac": args.visible_frac,
             "steps": args.max_steps,
             "psnr": round(res.psnr, 4), "psnr_codec": round(res.psnr_codec, 4),
             "delta_codec_db": round(res.psnr_codec - res.psnr, 4),
