@@ -32,6 +32,24 @@ from cnc_tpu.data import scenes
 from cnc_tpu.train import driver
 
 
+def parse_points(spec):
+    """Token grammar: LMBDA[@K][/CG][v] — K = rate_update_interval,
+    CG = ctx_grad (1 default), trailing 'v' = visibility-pruned render
+    (RenderConfig.visible_frac = --visible_frac).  Examples:
+    "2e-3"  "2e-3@4/0"  "2e-3@4/0v"."""
+    pts = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        vf = tok.endswith("v")
+        if vf:
+            tok = tok[:-1]
+        tok, _, cg = tok.partition("/")
+        lm, _, k = tok.partition("@")
+        pts.append((float(lm), int(k) if k else 1,
+                    bool(int(cg)) if cg else True, vf))
+    return pts
+
+
 def sweep_config(lmbda: float, steps: int, size: str = "small") -> CNCConfig:
     """tests/test_pipeline.tiny_rd_config scaled to a real depth: the LR
     schedule keeps the reference's proportions (warmup 5%, decays at
@@ -76,7 +94,11 @@ def sweep_config(lmbda: float, steps: int, size: str = "small") -> CNCConfig:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--lmbdas", type=str, default="7e-4,1e-3,2e-3,4e-3")
+    ap.add_argument("--points", type=str, default="7e-4,1e-3,2e-3,4e-3",
+                    help="see parse_points: LMBDA[@K][/CG][v] tokens")
+    ap.add_argument("--visible_frac", type=float, default=0.3,
+                    help="visible_frac applied to points carrying the "
+                         "'v' suffix")
     ap.add_argument("--size", type=str, default="small",
                     choices=["tiny", "small"])
     ap.add_argument("--out_root", type=str, default=".")
@@ -86,10 +108,17 @@ def main():
                                   n_steps_gt=192)
     test = scenes.ProceduralDataset("blocks", n_images=4, width=96, height=96,
                                     split="test", n_steps_gt=192)
-    for ls in args.lmbdas.split(","):
-        lmbda = float(ls)
+    for lmbda, k, cg, vf in parse_points(args.points):
         cfg = sweep_config(lmbda, args.steps, args.size)
-        scene = f"cpu_rd_{args.size}_l{ls}"
+        cfg = dataclasses.replace(
+            cfg,
+            entropy=dataclasses.replace(cfg.entropy, ctx_grad=cg),
+            render=dataclasses.replace(
+                cfg.render,
+                visible_frac=args.visible_frac if vf else None),
+            train=dataclasses.replace(cfg.train, rate_update_interval=k))
+        scene = (f"cpu_rd_{args.size}_l{lmbda:g}_k{k}_cg{int(cg)}"
+                 + ("_vf" if vf else ""))
         t0 = time.time()
         res = driver.run_pipeline(
             cfg, ds, test, scene=scene, out_root=args.out_root,
@@ -97,7 +126,8 @@ def main():
             log_fn=lambda *a: print(f"[{scene}]", *a, flush=True))
         driver.append_result_row(res, scene, "Procedural-CPU-RD",
                                  out_root=args.out_root)
-        print(f"[{scene}] lambda={lmbda:g} steps={args.steps} "
+        print(f"[{scene}] lambda={lmbda:g} K={k} ctx_grad={int(cg)} "
+              f"vf={args.visible_frac if vf else None} steps={args.steps} "
               f"psnr={res.psnr:.2f} codec={res.psnr_codec:.2f} "
               f"size={res.total_size_MB():.4f}MB "
               f"est={res.embed_MB_est:.4f} coded={res.embed_MB_codec:.4f} "
