@@ -104,15 +104,34 @@ def main():
     devices_seen.set()
     cfg = CNCConfig(
         model=ModelConfig(n_features_per_level=4),
-        entropy=EntropyConfig(n_features=4, sample_num=100000),
+        # ctx_grad=False stop-gradients the context-feature gathers in the
+        # rate estimate (the dominant scatter of the 3D rate grad).  RD
+        # validation: 200-step TPU sweep (RESULTS.md round 2: -0.36 dB,
+        # -4.5% bits) and 2000-step full-pipeline sweep (round 3,
+        # runs_cpu_knobs) both place it on the RD curve.
+        entropy=EntropyConfig(n_features=4, sample_num=100000,
+                              ctx_grad=False),
+        # visible_frac stays OFF: the 2000-step validation sweep measured
+        # −1.14 dB at visible_frac=0.3 (prune-buffer overflow masks rays out
+        # of the loss; RESULTS.md round-3 session 4) — not an on-curve knob
+        # at that capacity, so the bench does not use it.
         render=RenderConfig(),
         # pin the ray bucket to the measured steady value (4096 on this
         # scene): the throughput of the step is what's measured, and letting
         # the dynamic batcher wander pays a fresh multi-minute render-grad
         # compile through the tunneled backend for every new bucket it visits
+        # rate_update_interval=4 applies the entropy-rate gradients every
+        # 4th step with λ·K compensation (trainer.py).  At 200-step depth
+        # this lags the annealing schedule badly (round-2 sweep: off-curve);
+        # at 2000-step depth the full-pipeline sweep puts it on the curve
+        # (round 3, runs_cpu_knobs: +0.24 dB, +9% bits at termination-noise-
+        # dominated sizes vs the K=1 anchor).  The library default stays
+        # reference-faithful (K=1, rate every step like the reference's
+        # driver :383); the bench measures the validated fast configuration.
         train=dataclasses.replace(TrainConfig(), lmbda=2e-3,
                                   init_batch_size=4096,
-                                  min_ray_bucket=4096, max_ray_bucket=4096),
+                                  min_ray_bucket=4096, max_ray_bucket=4096,
+                                  rate_update_interval=4),
     )
     t0 = time.time()
     ds = scenes.ProceduralDataset("blocks", n_images=8, width=128, height=128,
