@@ -115,6 +115,42 @@ class TestCache:
                     ctx.mask2d_offsets[li] + flat]
                 np.testing.assert_array_equal(got, want)
 
+    def test_2d_float_coverage_matches_codec(self, ctx, binaries, cache):
+        """Training-time 2D rate coverage == coded coverage (VERDICT r3 weak
+        #2): pool_2d_level (float, footprint mask) and pool_2d_level_int
+        (codec) must mark the identical covered-entry set, or the trained
+        rate bills a different subset than the bitstream codes."""
+        from cnc_tpu.codec import intctx
+
+        # dimension-wise prior off: the frac plane changes probabilities,
+        # never coverage, and None keeps the context-MLP width consistent
+        ecfg, spec3, spec2 = tiny_setup()
+        ctx = cm.ContextModels(
+            dataclasses.replace(ecfg, use_dimension_wise=False), spec3, spec2)
+        cache = ctx.refresh_cache(binaries)
+        key = jax.random.PRNGKey(3)
+        ent_params = ctx.init_params(key)
+        int_params = intctx.quantize_ctx_params(ent_params)
+        f = ctx.cfg.n_features
+        tbl2 = jnp.where(
+            jax.random.normal(key, (ctx.spec2.total_entries, f)) > 0.0,
+            1.0, -1.0)
+        sign2 = intctx.sign_table(tbl2)
+        cache_i = ctx.refresh_cache_int(binaries)
+        for ai in range(3):
+            for l in ctx.ctx_levels_2d:
+                t = ctx.tables2d[l]
+                _, cov_f, _ = ctx.pool_2d_level(
+                    ent_params, tbl2, l, jnp.float32(0.5), None,
+                    cache["bin2d"][ai], cache["mask2d"][ai], 0,
+                    t.n_entries, t.n_points)
+                _, _, cov_i, _ = ctx.pool_2d_level_int(
+                    int_params, sign2, l,
+                    jnp.int32(intctx.quantize_pg(0.5)), None,
+                    cache_i["mask2d"][ai], 0, t.n_entries, t.n_points, 0)
+                np.testing.assert_array_equal(np.asarray(cov_f),
+                                              np.asarray(cov_i))
+
     def test_overlap_grid_matches_pointwise(self, ctx, binaries, cache):
         sat = sat_ops.build_sat(binaries)
         rng = np.random.default_rng(2)
