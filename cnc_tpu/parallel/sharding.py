@@ -122,9 +122,20 @@ def make_dp_train_step(cfg: CNCConfig, mesh: Mesh, opt, entropy=None,
     return step
 
 
-def dryrun_multichip(n_devices: int) -> None:
-    """Compile + execute one full data-parallel training step on a virtual
-    n-device mesh with tiny shapes (driver validation hook)."""
+def dryrun_multichip(n_devices: int, n_steps: int = 10) -> None:
+    """Compile + execute the full data-parallel training step on a virtual
+    n-device mesh with tiny shapes (driver validation hook).
+
+    Round-4 extension (VERDICT r3 #8): runs n_steps steps with per-step
+    keys and both optimizers, asserts the photometric loss DECREASES over
+    the trajectory, builds the entropy model with the per-device sampling
+    quotas the sharded rate path is designed for (driver.build_entropy
+    semantics: sample_num / v_ctx_cap / sample_num_2d divided across the
+    mesh, bits pmean'd), and finishes with a codec encode/decode roundtrip
+    on the trained tables so the mesh-trained state is shown to reach a
+    decodable bitstream."""
+    import tempfile
+
     from ..models import context_models as cm
     from ..config import (EntropyConfig, GridSpec, ModelConfig, RenderConfig,
                           TrainConfig)
@@ -135,17 +146,25 @@ def dryrun_multichip(n_devices: int) -> None:
                        resolutions_2d=(18, 34),
                        log2_hashmap_size=10, log2_hashmap_size_2D=8,
                        pe_num_freqs=4)
-    ecfg = EntropyConfig(n_features=2, sample_num=256, max_context_layer_num=2,
+    # per-device quotas (driver.build_entropy): each device rates DIFFERENT
+    # windows with 1/n of the total budget; pmean recovers the estimate
+    ecfg = EntropyConfig(n_features=2,
+                         sample_num=max(1, 2048 // n_devices),
+                         max_context_layer_num=2,
                          Pg_level=4, Pg_level_2D=2, skip_levels_3d=(0, 1),
                          skip_levels_2d=(0,), Rb=16,
                          pn_coords_cap=1 << 14, pn_frac_sample_cap=None,
-                         sample_num_2d=128, v_ctx_cap=1 << 11)
+                         sample_num_2d=max(16, 1024 // n_devices),
+                         v_ctx_cap=max(256, (1 << 13) // n_devices))
     cfg = CNCConfig(
         model=mcfg, entropy=ecfg,
         render=dataclasses.replace(RenderConfig(), occ_resolution=16,
                                    render_step_size=0.05,
                                    sample_budget=1 << 10, march_block=16),
-        train=dataclasses.replace(TrainConfig(), lmbda=2e-3))
+        # warmup_iters=1: the default 1000-step LR warmup would leave the
+        # 10-step trajectory at ~1% LR and the loss-decrease assert noisy
+        train=dataclasses.replace(TrainConfig(), lmbda=2e-3,
+                                  warmup_iters=1))
 
     key = jax.random.PRNGKey(0)
     params = rf.init_radiance_field(key, mcfg)
@@ -153,6 +172,8 @@ def dryrun_multichip(n_devices: int) -> None:
     ent_params = entropy.init_params(key)
     opt = optim.make_optimizer(cfg.train, cfg.train.weight_decay)
     opt_state = opt.init(params)
+    opt_ent = optim.make_optimizer(cfg.train)
+    opt_ent_state = opt_ent.init(ent_params)
     binaries = jnp.zeros((16, 16, 16), bool).at[6:10, 6:10, 6:10].set(True)
     cache = entropy.refresh_cache(binaries)
 
@@ -164,13 +185,41 @@ def dryrun_multichip(n_devices: int) -> None:
     rays_o, rays_d, pixels = shard_rays(mesh, rays_o, rays_d, pixels)
 
     step = make_dp_train_step(cfg, mesh, opt, entropy=entropy)
-    params2, g_ent, opt_state, aux = step(
-        params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
-        jnp.ones(3), key, cache, entropy.table_arrays)
-    jax.block_until_ready(params2)
-    assert np.isfinite(float(aux["mse"]))
+
+    @jax.jit
+    def apply_ent(ent_params, g_ent, opt_ent_state):
+        upd, opt_ent_state = opt_ent.update(g_ent, opt_ent_state, ent_params)
+        return optax.apply_updates(ent_params, upd), opt_ent_state
+
+    mses = []
+    for i in range(n_steps):
+        k_i = jax.random.fold_in(key, i)
+        params, g_ent, opt_state, aux = step(
+            params, ent_params, opt_state, binaries, rays_o, rays_d, pixels,
+            jnp.ones(3), k_i, cache, entropy.table_arrays)
+        ent_params, opt_ent_state = apply_ent(ent_params, g_ent,
+                                              opt_ent_state)
+        mses.append(float(aux["mse"]))
+    assert all(np.isfinite(mses)), mses
     assert np.isfinite(float(aux["bits_per_param"]))
-    leaves = jax.tree.leaves(params2)
+    leaves = jax.tree.leaves(params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
-    print(f"dryrun_multichip({n_devices}): ok — mse={float(aux['mse']):.4f} "
-          f"bpp={float(aux['bits_per_param']):.4f}")
+    # fixed ray batch + milestone-free LR: the trajectory must descend
+    assert min(mses[-3:]) < mses[0], f"loss did not decrease: {mses}"
+
+    # codec roundtrip on the mesh-trained tables (sharded-quota encode path)
+    from ..codec.codec import CNCCodec
+
+    tables = rf.quantized_tables(params, mcfg)
+    codec = CNCCodec(entropy)
+    with tempfile.TemporaryDirectory() as out_dir:
+        pgs, est_mb, actual_mb = codec.encode(ent_params, tables, binaries,
+                                              out_dir)
+        rec = codec.decode(ent_params, binaries, pgs, out_dir)
+    assert actual_mb > 0
+    for name in ("xyz", "xy", "xz", "yz"):
+        assert rec[name].shape == tables[name].shape
+    print(f"dryrun_multichip({n_devices}): ok — mse {mses[0]:.4f} -> "
+          f"{mses[-1]:.4f} over {n_steps} steps, "
+          f"bpp={float(aux['bits_per_param']):.4f}, "
+          f"codec {actual_mb:.4f} MB (est {est_mb:.4f})")
