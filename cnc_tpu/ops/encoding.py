@@ -17,12 +17,11 @@ gridencoder.cu:45-396 forward, :399-585 backward):
 
 The backward pass (scatter-add of w * wn_re * grad into the table,
 gridencoder.cu:399-585) runs through a custom VJP (ops/scatter_ops.
-grouped_gather_interp): per-feature 1-D column scatter-adds, measured ~8-10
-ns/update on v5e.  Mosaic cannot gather/scatter along the SUBLANE axis, but
-a dynamic-LANE serial RMW over a transposed [8, T] VMEM table is
-expressible — ops/pallas_scatter.py carries that alternative backward for
-the static-level path, gated by CNC_PALLAS_SCATTER pending hardware
-measurements (tools/pallas_probe.py).
+grouped_gather_interp): per-feature 1-D column scatter-adds, measured ~7-10
+ns/update on v5e — the hardware floor for this op (a Pallas serial
+lane-RMW alternative was probed on real v5e and Mosaic rejects the
+construct outright; see scatter_ops.grouped_gather_interp docstring and
+tools/pallas_scatter_probe_r4.py).
 
 Three entry points mirror the reference GridEncoder's forwards
 (ngp.py:228-315): `grid_encode` (static level range), `grid_encode_diff_levels`
@@ -103,7 +102,7 @@ def _corner_setup(frac: jnp.ndarray, pg: jnp.ndarray, offset, hashmap_size,
 
 
 def _gather_levels(table: jnp.ndarray, gidx_list, w_list,
-                   points: jnp.ndarray, group_spans=None) -> jnp.ndarray:
+                   points: jnp.ndarray) -> jnp.ndarray:
     """Grouped gather + renormalize + oob masking over per-level corner sets.
 
     gidx_list/w_list: G arrays of [N, 2^D].  Returns [N, G*F] level-major
@@ -122,7 +121,7 @@ def _gather_levels(table: jnp.ndarray, gidx_list, w_list,
         # need_dw=False: CNC never needs d(out)/d(weights) — sample positions
         # and context lattice coords are not optimized (see scatter_ops)
         acc = scatter_ops.grouped_gather_interp(
-            table.astype(jnp.float32), gidx2, w2, g, f, False, group_spans)
+            table.astype(jnp.float32), gidx2, w2, g, f, False)
     else:
         # reference path (plain autodiff scatter backward), for A/B testing
         feats = jnp.take(table, gidx2, axis=0,
@@ -178,12 +177,7 @@ def encode_explicit(points: jnp.ndarray, table: jnp.ndarray,
                                occ_mask, moff)
         gs.append(gi)
         ws.append(wi)
-    # static per-level table spans enable the (flag-gated) Pallas scatter
-    # backward — see ops/pallas_scatter.py; spans here are disjoint by
-    # construction (consecutive offsets)
-    spans = tuple((int(offsets[li]), int(offsets[li + 1]) - int(offsets[li]))
-                  for li in range(len(resolutions)))
-    return _gather_levels(table, gs, ws, points, group_spans=spans)
+    return _gather_levels(table, gs, ws, points)
 
 
 def grid_encode(points: jnp.ndarray, table: jnp.ndarray, spec: GridSpec,

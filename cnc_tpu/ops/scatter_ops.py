@@ -53,11 +53,10 @@ scatter_add_sorted_cols = scatter_add_cols
 scatter_add_sorted = scatter_add
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
                           w2: jnp.ndarray, groups: int, f: int,
-                          need_dw: bool = True,
-                          group_spans=None) -> jnp.ndarray:
+                          need_dw: bool = True) -> jnp.ndarray:
     """out[n, g*F+fi] = sum_c w2[n, g*C+c] * table[gidx2[n, g*C+c], fi].
 
     table: [T, F]; gidx2/w2: [N, G*C] (corner-major within each group).
@@ -75,12 +74,13 @@ def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
     optimization; context lattice points are integers), so every encode call
     in the hot path passes False.
 
-    group_spans: optional static per-group (table_offset, table_size)
-    tuple-of-tuples — only meaningful on the static-level encode path where
-    group == level and the spans are disjoint.  When given AND the Pallas
-    scatter is enabled (ops/pallas_scatter.enabled()), d_table accumulates
-    through per-level VMEM-resident serial scatter kernels instead of XLA
-    column scatters.  Forward is identical either way.
+    A Pallas serial lane-RMW alternative backward (VMEM-resident [8, T]
+    transposed tables) was carried through round 3 gated off; on real v5e
+    hardware Mosaic rejects even a minimal dynamic-lane RMW kernel
+    (tools/pallas_scatter_probe_r4.py, 2026-08-19: tpu_compile_helper
+    crash at every table size), so the XLA column scatter at ~7 ns/update
+    (28 ns per F=4 row) stands as the measured hardware floor and the
+    Pallas module was deleted.
     """
     n, k = gidx2.shape
     c = k // groups
@@ -96,28 +96,16 @@ def grouped_gather_interp(table: jnp.ndarray, gidx2: jnp.ndarray,
     return jnp.concatenate(outs, axis=1)                  # [N, G*F]
 
 
-def _ggi_fwd(table, gidx2, w2, groups, f, need_dw, group_spans):
-    return (grouped_gather_interp(table, gidx2, w2, groups, f, need_dw,
-                                  group_spans),
+def _ggi_fwd(table, gidx2, w2, groups, f, need_dw):
+    return (grouped_gather_interp(table, gidx2, w2, groups, f, need_dw),
             (table, gidx2, w2))
 
 
-def _ggi_bwd(groups, f, need_dw, group_spans, res, g):
+def _ggi_bwd(groups, f, need_dw, res, g):
     table, gidx2, w2 = res
     n, k = gidx2.shape
     c = k // groups
     t = table.shape[0]
-    if group_spans is not None:
-        from . import pallas_scatter
-        if pallas_scatter.enabled():
-            nb, tb = pallas_scatter.block_sizes()
-            d_table = pallas_scatter.grouped_table_grad(
-                g, gidx2, w2, groups, f, t, group_spans,
-                interpret=pallas_scatter.interpret_mode(),
-                n_block=nb, t_block=tb)
-            if not need_dw:
-                return d_table, None, jnp.zeros_like(w2)
-            return d_table, None, _ggi_dw(table, gidx2, w2, groups, f, g)
     gflat = gidx2.reshape(-1)
     # d_table via per-feature 1-D column scatters; all big intermediates stay
     # [N, K] 2-D (no [N,G,C,F] reshapes — see forward)
