@@ -75,6 +75,19 @@ def main():
     ap.add_argument("--out_root", type=str, default="runs_depth")
     ap.add_argument("--max_eval_images", type=int, default=1)
     ap.add_argument("--auto_fallback", type=int, default=1)
+    ap.add_argument("--pin_bucket", type=int, default=0,
+                    help="pin the ray bucket (min==max) so the dynamic "
+                         "batcher never pays a fresh multi-minute "
+                         "render-grad compile mid-chain; 0 = reference "
+                         "dynamic batching")
+    ap.add_argument("--sample_budget", type=int, default=0,
+                    help="per-step sample budget (0 = reference 2^18); "
+                         "reduced budgets trade samples/step for steps/s "
+                         "so the 20k-step schedule fits a driver window")
+    ap.add_argument("--checkpoint_path", type=str, default="",
+                    help="enable checkpoint/resume for single-point "
+                         "chains (the 20k schedule run spans driver "
+                         "windows); a resumed trainer skips reset_state")
     args = ap.parse_args()
 
     from cnc_tpu.utils.jit_cache import ensure_compilation_cache
@@ -89,16 +102,28 @@ def main():
     points = parse_points(args.points)
     log("points:", points, "devices:", jax.devices())
 
+    render_kw = dict(visible_frac=args.visible_frac)
+    if args.sample_budget:
+        render_kw["sample_budget"] = args.sample_budget
+    train_kw = dict(lmbda=points[0][0],
+                    rate_update_interval=points[0][1],
+                    max_steps=args.max_steps)
+    if args.pin_bucket:
+        train_kw.update(init_batch_size=args.pin_bucket,
+                        min_ray_bucket=args.pin_bucket,
+                        max_ray_bucket=args.pin_bucket)
+    if args.sample_budget:
+        train_kw["target_sample_batch_size"] = args.sample_budget
+    if args.checkpoint_path:
+        train_kw["checkpoint_path"] = args.checkpoint_path
+        train_kw["checkpoint_every"] = 500
     cfg = CNCConfig(
         model=ModelConfig(n_features_per_level=args.n_features),
         entropy=EntropyConfig(n_features=args.n_features,
                               sample_num=args.sample_num,
                               ctx_grad=bool(args.ctx_grad)),
-        render=dataclasses.replace(RenderConfig(),
-                                   visible_frac=args.visible_frac),
-        train=dataclasses.replace(TrainConfig(), lmbda=points[0][0],
-                                  rate_update_interval=points[0][1],
-                                  max_steps=args.max_steps),
+        render=dataclasses.replace(RenderConfig(), **render_kw),
+        train=dataclasses.replace(TrainConfig(), **train_kw),
     )
     # the round-2 deep-run dataset (train_cnc_nerf_synthetic.py fallback)
     train_ds = ProceduralDataset("blocks", n_images=24, width=256,
@@ -138,11 +163,14 @@ def main():
             if k == 1 and anchor is None:
                 anchor = rec
             continue
+        resumed = (i == 0 and args.checkpoint_path and trainer.step > 0)
+        steps_left = (args.max_steps + 1 - trainer.step) if resumed \
+            else (args.max_steps + 1)
         est_step = step_s.get(k) or step_s.get(1) or (
             5.6 if k == 1 else 3.8)   # prior: round-2 measurements
-        est = est_step * (args.max_steps + 1) + tail_s
+        est = est_step * steps_left + tail_s
         left = args.deadline_s - (time.time() - _T0) - args.margin_s
-        if est > left:
+        if est > left and not args.checkpoint_path:
             log(f"point {lm:g}@{k}: SKIPPED — est {est:.0f}s > "
                 f"remaining {left:.0f}s")
             continue
@@ -150,7 +178,11 @@ def main():
         tag = f"l{lm:g}_k{k}"
         log(f"=== point {i}: λ={lm:g} K={k} -> {tag} "
             f"(est {est/60:.0f} min) ===")
-        trainer.reset_state(lmbda=lm, rate_update_interval=k)
+        if resumed:
+            log(f"resumed from checkpoint at step {trainer.step}; "
+                "skipping reset_state")
+        else:
+            trainer.reset_state(lmbda=lm, rate_update_interval=k)
         t_pt = time.time()
         res = driver.run_with_trainer(
             trainer, test_ds, scene=tag, out_root=args.out_root,
