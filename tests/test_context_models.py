@@ -270,6 +270,100 @@ class TestRateEstimate:
         assert float(jnp.abs(g_tab["xyz"]).sum()) > 0
         assert float(jnp.abs(g_tab["xy"]).sum()) > 0
 
+    def test_3d_compacted_pooling_matches_window_layout(self, ctx, binaries,
+                                                        cache):
+        """The r4 compacted pooling (segment sums over the [cap] compacted
+        vertices) must bill bit-for-bit the same 3D rate as the r1-r3
+        window-layout pooling it replaced (scatter mean back to the
+        concatenated windows, sum over all window rows)."""
+        from cnc_tpu.ops import encoding as enc
+        from cnc_tpu.ops import entropy as ent_ops
+        from cnc_tpu.ops import scatter_ops
+
+        key = jax.random.PRNGKey(11)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(13)
+        tbl3 = jnp.asarray(
+            np.sign(rng.standard_normal(
+                (ctx.spec3.total_entries, 2)) + 0.2).astype(np.float32))
+        pg_by_level = {l: jnp.float32(0.4 + 0.05 * l)
+                       for l in range(ctx.spec3.n_levels)}
+        tbls = ctx.table_arrays
+
+        got = ctx._bits_3d_sampled(ent_params, tbl3, pg_by_level, cache,
+                                   key, tbls)
+
+        # ---- old window-layout replica (same key => same windows) ----
+        cfg = ctx.cfg
+        f = cfg.n_features
+        parts = ctx._slice_3d_windows(jax.random.fold_in(key, 7), tbls)
+        pos = jnp.concatenate([p["pos"] for p in parts])
+        valid = jnp.concatenate([p["valid"] for p in parts])
+        levels = jnp.concatenate([
+            jnp.full((p["pos"].shape[0],), p["level"], jnp.int32)
+            for p in parts])
+        base = 0
+        slots = []
+        for p in parts:
+            slots.append(p["slot"] + base)
+            base += ctx.tables3d[p["level"]].sample_n
+        slot = jnp.concatenate(slots)
+        e_total = base
+        mask = jnp.zeros_like(valid)
+        ovl = jnp.zeros(pos.shape, jnp.float32)
+        off = 0
+        for p in parts:
+            l = p["level"]
+            n = p["pos"].shape[0]
+            seg = slice(off, off + n)
+            m_l = cache["mask3d"][ctx.mask3d_offsets[l] + pos[seg]]
+            mask = mask.at[seg].set(m_l & valid[seg])
+            ovl = ovl.at[seg].set(cache["ovl"][str(l)][pos[seg]])
+            off += n
+        ovl_w = jnp.maximum(jnp.floor(ovl * 1000.0), 1.0)
+        cap = cfg.v_ctx_cap
+        c = jnp.cumsum(mask.astype(jnp.int32))
+        total = c[-1]
+        kept = mask & (c <= cap)
+        src, _ = scatter_ops.compact_mask_indices(mask, cap)
+        cvalid = jnp.arange(cap) < jnp.minimum(total, cap)
+        clev = levels[src]
+        cpos = pos[src]
+        res_arr = jnp.asarray(ctx.spec3.resolutions, jnp.int32)[clev]
+        xx = cpos // (res_arr * res_arr)
+        yy = (cpos // res_arr) % res_arr
+        zz = cpos % res_arr
+        pts = (jnp.stack([xx, yy, zz], -1).astype(jnp.float32) - 0.5) / \
+            (res_arr.astype(jnp.float32) - 2.0)[:, None]
+        k = cfg.max_context_layer_num
+        ctx_feat = enc.grid_encode_diff_levels(
+            pts, tbl3, ctx.spec3, clev - k, k, occ_mask=cache["mask3d"],
+            mask_offsets=ctx.mask3d_offsets)
+        pg_arr = jnp.stack([pg_by_level[l]
+                            for l in range(ctx.spec3.n_levels)])
+        ctx_feat = jnp.concatenate([ctx_feat, pg_arr[clev][:, None]], -1)
+        mean = ctx.apply_ctx3d(ent_params["ctx3d"], ctx_feat)
+        mean_full = jnp.zeros((pos.shape[0], f))
+        mean_full = mean_full.at[
+            jnp.where(cvalid, src, pos.shape[0] - 1)].set(
+            jnp.where(cvalid[:, None], mean, 0.0), mode="drop",
+            unique_indices=True)
+        w = jnp.where(kept, ovl_w, 0.0)
+        wsum = cm._segment_tail_values(w, slot, valid, e_total)
+        pooled = cm._segment_tail_values(mean_full * w[:, None], slot,
+                                         valid, e_total)
+        pooled = pooled / jnp.maximum(wsum, 1e-9)[:, None]
+        exist = wsum > 0
+        evals = jnp.concatenate([
+            p["entry_values"] + ctx.tables3d[p["level"]].offset
+            for p in parts])
+        values_q = tbl3[evals]
+        bits = ent_ops.bernoulli_bits(values_q, pooled)
+        bits = jnp.sum(jnp.where(exist[:, None], bits, 0.0))
+        want = bits / ctx.ttl_sample_valid_3d * ctx.ttl_entries_valid_3d
+
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
     def test_ctx_grad_flag(self, ctx, binaries, cache):
         """ctx_grad=False must not change the forward rate, must keep the
         direct (coded-entry) gradient path alive, and must remove the
