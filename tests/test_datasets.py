@@ -233,3 +233,113 @@ def test_blender_smoke_train(tmp_path):
     assert trainer.step >= 3
     ev = trainer.evaluate(SubjectLoader("chair", root, "test"), max_images=1)
     assert np.isfinite(ev["psnr"])
+
+
+# --------------------------------------------- at-scale camera conventions
+def _reference_rays_np(K, c2w, x, y):
+    """Ray generation transcribed from the REFERENCE loader (examples/
+    datasets/nerf_synthetic.py:202-222) in independent numpy: pixel-center
+    +0.5 offsets, OpenGL y/z flips, c2w rotation applied as the reference's
+    broadcast-multiply-sum."""
+    dirs = np.stack([
+        (x - K[0, 2] + 0.5) / K[0, 0],
+        (y - K[1, 2] + 0.5) / K[1, 1] * -1.0,
+        np.full(np.shape(x), -1.0)], -1)
+    directions = (dirs[:, None, :] * np.asarray(c2w)[:3, :3]).sum(-1)
+    origins = np.broadcast_to(np.asarray(c2w)[:3, -1], directions.shape)
+    viewdirs = directions / np.linalg.norm(directions, axis=-1,
+                                           keepdims=True)
+    return origins, viewdirs
+
+
+_SPHERES = [  # (center, radius, rgb) inside the [-1.5, 1.5] aabb
+    (np.array([0.0, 0.0, 0.0]), 0.6, np.array([0.9, 0.15, 0.1])),
+    (np.array([0.9, -0.6, 0.4]), 0.35, np.array([0.1, 0.8, 0.2])),
+    (np.array([-0.8, 0.7, -0.5]), 0.45, np.array([0.15, 0.2, 0.95])),
+]
+
+
+def _trace_spheres(o, v):
+    """Nearest-sphere flat-shaded raytrace -> (rgb [N,3], hit [N])."""
+    n = o.shape[0]
+    best_t = np.full(n, np.inf)
+    rgb = np.zeros((n, 3))
+    for c, r, col in _SPHERES:
+        oc = o - c
+        b = np.sum(oc * v, -1)
+        disc = b * b - (np.sum(oc * oc, -1) - r * r)
+        ok = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        ok &= (t > 0) & (t < best_t)
+        best_t = np.where(ok, t, best_t)
+        rgb[ok] = col
+    return rgb, np.isfinite(best_t)
+
+
+def make_sphere_blender_dataset(root, scene="spheres", n_train=2, res=800):
+    """A REAL-SCALE (800x800) Blender-format dataset whose GT images come
+    from an independent numpy raytracer using the reference's documented
+    ray convention — so any deviation in the loader (offset, flip,
+    transpose) shows up as massive color mismatch at sphere silhouettes."""
+    import imageio.v2 as imageio
+    d = os.path.join(root, scene)
+    angle_x = 0.6911112070083618
+    focal = 0.5 * res / np.tan(0.5 * angle_x)
+    K = np.array([[focal, 0, res / 2.0], [0, focal, res / 2.0], [0, 0, 1]])
+    x, y = np.meshgrid(np.arange(res, dtype=np.float64),
+                       np.arange(res, dtype=np.float64), indexing="xy")
+    x, y = x.ravel(), y.ravel()
+    for split, n in (("train", n_train), ("val", 1), ("test", 1)):
+        os.makedirs(os.path.join(d, split), exist_ok=True)
+        frames = []
+        for i, pose in enumerate(_poses(n)):
+            o, v = _reference_rays_np(K, pose, x, y)
+            rgb, hit = _trace_spheres(o, v)
+            img = np.zeros((res * res, 4), np.uint8)
+            img[:, :3] = np.round(rgb * 255)
+            img[:, 3] = hit * 255
+            rel = f"./{split}/r_{i}"
+            imageio.imwrite(os.path.join(d, f"{rel}.png"),
+                            img.reshape(res, res, 4))
+            frames.append({"file_path": rel,
+                           "transform_matrix": pose.tolist()})
+        meta = {"camera_angle_x": angle_x, "frames": frames}
+        with open(os.path.join(d, f"transforms_{split}.json"), "w") as fh:
+            json.dump(meta, fh)
+    return root, K
+
+
+def test_blender_conventions_at_800(tmp_path):
+    """VERDICT r3 missing #5: camera-convention errors invisible at 16^2
+    fixture scale.  Loads an 800x800 Blender-format dataset (independent
+    numpy-raytraced GT) through the real SubjectLoader and checks that
+    rays regenerate the images: every loader ray, traced through the same
+    sphere scene, must reproduce its pixel's color."""
+    from cnc_tpu.data.nerf_synthetic import SubjectLoader
+
+    root, K = make_sphere_blender_dataset(str(tmp_path))
+    ds = SubjectLoader("spheres", root, "train")
+    assert ds.WIDTH == 800 and ds.HEIGHT == 800
+    np.testing.assert_allclose(np.asarray(ds.K), K, rtol=1e-6)
+
+    # full-image rays (eval path)
+    rays, pixels = ds.image_and_rays(0)
+    o = np.asarray(rays.origins).reshape(-1, 3)
+    v = np.asarray(rays.viewdirs).reshape(-1, 3)
+    rgb, hit = _trace_spheres(o, v)
+    want = np.where(hit[:, None], rgb, 1.0)          # white background
+    got = np.asarray(pixels).reshape(-1, 3)
+    mismatch = np.mean(np.any(np.abs(got - want) > 2 / 255.0, axis=-1))
+    # only aliasing on the (exact, un-antialiased) silhouettes may differ
+    assert mismatch < 1e-3, f"{mismatch:.2%} of 800^2 pixels disagree"
+
+    # random-pixel training fetch path
+    ds_tr = SubjectLoader("spheres", root, "train", num_rays=4096)
+    rays, pixels = ds_tr.fetch_rays(jax.random.PRNGKey(0), 4096)
+    o = np.asarray(rays.origins)
+    v = np.asarray(rays.viewdirs)
+    rgb, hit = _trace_spheres(o, v)
+    want = np.where(hit[:, None], rgb, 1.0)
+    got = np.asarray(pixels)
+    mismatch = np.mean(np.any(np.abs(got - want) > 2 / 255.0, axis=-1))
+    assert mismatch < 2e-3, f"{mismatch:.2%} of sampled rays disagree"
