@@ -49,6 +49,8 @@ from cnc_tpu.models import context_models as cm
 from cnc_tpu.ops import ste as ste_ops
 from test_context_models import tiny_setup
 
+pytestmark = pytest.mark.slow
+
 ecfg, spec3, spec2 = tiny_setup()
 ctx = cm.ContextModels(ecfg, spec3, spec2)
 rng = np.random.default_rng(42)

@@ -16,6 +16,9 @@ from cnc_tpu.config import (CNCConfig, EntropyConfig, ModelConfig,
                             RenderConfig, TrainConfig)
 from cnc_tpu.data import scenes
 from cnc_tpu.train import driver
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 # PSNRs recorded by each pipeline test so whichever runs second can assert

@@ -12,6 +12,8 @@ import pytest
 
 from cnc_tpu.parallel import sharding
 
+pytestmark = pytest.mark.slow
+
 
 def test_dryrun_multichip_full_rd_step():
     assert len(jax.devices()) >= 8
