@@ -25,6 +25,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 from cnc_tpu.codec import codec as codec_mod
 from cnc_tpu.models import context_models as cm
 from cnc_tpu.ops import ste as ste_ops
@@ -48,8 +50,6 @@ from cnc_tpu.codec import codec as codec_mod
 from cnc_tpu.models import context_models as cm
 from cnc_tpu.ops import ste as ste_ops
 from test_context_models import tiny_setup
-
-pytestmark = pytest.mark.slow
 
 ecfg, spec3, spec2 = tiny_setup()
 ctx = cm.ContextModels(ecfg, spec3, spec2)
