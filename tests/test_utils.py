@@ -131,3 +131,36 @@ def test_trainer_periodic_checkpoint_and_resume(tmp_path):
     assert tr2.step == 5
     np.testing.assert_allclose(np.asarray(tr2.params["xyz"]),
                                np.asarray(tr.params["xyz"]), atol=0.02)
+
+
+def test_reset_state_then_load_checkpoint_resumes_in_place(tmp_path):
+    """The RD sweep's per-point resume: after a watchdog restart the SAME
+    trainer (compiled programs kept) is reset_state-ed for the point, its
+    cfg re-pointed at the point's checkpoint, and the checkpoint loaded in
+    place (tools/rd_sweep_depth.py).  Must reproduce the saved step/params
+    and keep training."""
+    cfg = tiny_cfg()
+    ds = scenes.ProceduralDataset("sphere", n_images=2, width=24, height=24,
+                                  n_steps_gt=64)
+    tr = Trainer(cfg, ds)
+    tr.fit(max_steps=4, log_every=0)
+    cp = str(tmp_path / "ck_point.npz")
+    ckpt.save_checkpoint(cp, tr)
+    step_saved = tr.step   # fit runs steps 0..max_steps inclusive
+    saved = np.asarray(jax.tree.leaves(tr.params)[0])
+
+    # a fresh process would rebuild the trainer; here the same one restarts
+    # the point: reset wipes state, the cfg swap re-arms periodic saves, the
+    # load restores the point mid-flight
+    tr.reset_state(lmbda=0.001, rate_update_interval=2)
+    assert tr.step == 0
+    tr.cfg = dataclasses.replace(
+        tr.cfg, train=dataclasses.replace(tr.cfg.train, checkpoint_path=cp,
+                                          checkpoint_every=500))
+    assert int(np.load(cp)["step"]) == step_saved  # the sweep's step peek
+    ckpt.load_checkpoint(cp, tr)
+    assert tr.step == step_saved
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(tr.params)[0]),
+                                  saved)
+    tr.fit(max_steps=7, log_every=0)
+    assert tr.step == 8

@@ -84,10 +84,14 @@ def main():
                     help="per-step sample budget (0 = reference 2^18); "
                          "reduced budgets trade samples/step for steps/s "
                          "so the 20k-step schedule fits a driver window")
-    ap.add_argument("--checkpoint_path", type=str, default="",
-                    help="enable checkpoint/resume for single-point "
-                         "chains (the 20k schedule run spans driver "
-                         "windows); a resumed trainer skips reset_state")
+    ap.add_argument("--point_ckpt_every", type=int, default=500,
+                    help="per-point checkpoint interval in steps (0 = off). "
+                         "Every point writes <out_root>/ckpt_<tag>.npz; a "
+                         "restarted process resumes the in-flight point from "
+                         "it (watchdog restarts after a relay hang lose at "
+                         "most this many steps) and the file is deleted when "
+                         "the point's summary row lands.  The 20k schedule "
+                         "run spans driver windows through the same file.")
     args = ap.parse_args()
 
     from cnc_tpu.utils.jit_cache import ensure_compilation_cache
@@ -114,9 +118,6 @@ def main():
                         max_ray_bucket=args.pin_bucket)
     if args.sample_budget:
         train_kw["target_sample_batch_size"] = args.sample_budget
-    if args.checkpoint_path:
-        train_kw["checkpoint_path"] = args.checkpoint_path
-        train_kw["checkpoint_every"] = 500
     cfg = CNCConfig(
         model=ModelConfig(n_features_per_level=args.n_features),
         entropy=EntropyConfig(n_features=args.n_features,
@@ -163,26 +164,33 @@ def main():
             if k == 1 and anchor is None:
                 anchor = rec
             continue
-        resumed = (i == 0 and args.checkpoint_path and trainer.step > 0)
-        steps_left = (args.max_steps + 1 - trainer.step) if resumed \
-            else (args.max_steps + 1)
+        tag = f"l{lm:g}_k{k}"
+        ck = os.path.join(args.out_root, f"ckpt_{tag}.npz")
+        ck_step = 0
+        if args.point_ckpt_every and os.path.exists(ck):
+            import numpy as _np
+            ck_step = int(_np.load(ck)["step"])
         est_step = step_s.get(k) or step_s.get(1) or (
             5.6 if k == 1 else 3.8)   # prior: round-2 measurements
-        est = est_step * steps_left + tail_s
+        est = est_step * (args.max_steps + 1 - ck_step) + tail_s
         left = args.deadline_s - (time.time() - _T0) - args.margin_s
-        if est > left and not args.checkpoint_path:
+        if est > left and args.point_ckpt_every == 0:
             log(f"point {lm:g}@{k}: SKIPPED — est {est:.0f}s > "
                 f"remaining {left:.0f}s")
             continue
 
-        tag = f"l{lm:g}_k{k}"
         log(f"=== point {i}: λ={lm:g} K={k} -> {tag} "
             f"(est {est/60:.0f} min) ===")
-        if resumed:
-            log(f"resumed from checkpoint at step {trainer.step}; "
-                "skipping reset_state")
-        else:
-            trainer.reset_state(lmbda=lm, rate_update_interval=k)
+        trainer.reset_state(lmbda=lm, rate_update_interval=k)
+        if args.point_ckpt_every:
+            trainer.cfg = dataclasses.replace(
+                trainer.cfg, train=dataclasses.replace(
+                    trainer.cfg.train, checkpoint_path=ck,
+                    checkpoint_every=args.point_ckpt_every))
+            if ck_step > 0:
+                from cnc_tpu.utils import checkpoint as ckpt_mod
+                ckpt_mod.load_checkpoint(ck, trainer)
+                log(f"resumed {tag} from checkpoint at step {trainer.step}")
         t_pt = time.time()
         res = driver.run_with_trainer(
             trainer, test_ds, scene=tag, out_root=args.out_root,
@@ -191,7 +199,8 @@ def main():
         driver.append_result_row(res, tag, "Procedural_depth",
                                  out_root=args.out_root)
         wall = time.time() - t_pt
-        step_s[k] = res.elapsed_train_s / (args.max_steps + 1)
+        steps_run = max(args.max_steps + 1 - ck_step, 1)
+        step_s[k] = res.elapsed_train_s / steps_run
         tail_s = max(120.0, wall - res.elapsed_train_s)
         rec = {
             "lmbda": lm, "interval": k, "ctx_grad": bool(args.ctx_grad),
@@ -212,6 +221,8 @@ def main():
         }
         with open(summary_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
+        if args.point_ckpt_every and os.path.exists(ck):
+            os.remove(ck)   # the summary row supersedes the checkpoint
         log("point done:", json.dumps(rec))
 
         if k == 1 and anchor is None:
