@@ -9,6 +9,9 @@
 # Usage: overnight_r4.sh <epoch-when-tpu-must-be-free>
 set -u
 cd /root/repo
+# `python tools/x.py` puts tools/ (not the repo) on sys.path; the axon site
+# dir must stay first (verify skill: extend, never replace)
+export PYTHONPATH="/root/.axon_site:/root/repo"
 WALL=${1:?usage: overnight_r4.sh <epoch-when-tpu-must-be-free>}
 LOG=/tmp/overnight_r4.log
 STALE_S=1200          # longest legitimate quiet gap is the ~510s table build
@@ -53,6 +56,13 @@ run_watched() {  # run_watched <end_epoch> <logfile> <max_restarts> cmd...
 }
 
 say "start; wall=$(date -d @"$WALL")"
+
+# preflight: a systematic failure must abort loudly, not burn the retries
+if ! python -c "import cnc_tpu" 2>>"$LOG" || \
+   ! python tools/rd_sweep_depth.py --help > /dev/null 2>>"$LOG"; then
+  say "PREFLIGHT FAILED: cnc_tpu/tools import broken; aborting"
+  exit 1
+fi
 
 # ---- 1. RD depth sweep: complete the 4-point table ---------------------------
 # reserve 70 min for the 20k run + 25 min for bench
