@@ -754,7 +754,8 @@ class ContextModels:
 
     # ------------------------------------------------- dimension-wise prior
     def pn_frac_plane(self, table3d_q: jnp.ndarray, pn_ax: Dict,
-                      sample_cap: Optional[int] = None) -> jnp.ndarray:
+                      sample_cap: Optional[int] = None,
+                      axis_name: Optional[str] = None) -> jnp.ndarray:
         """Positive-sign fraction plane [pn_res**2, F] (x-fastest flat).
 
         get_pn_embed_frac (utils_bpp_acc.py:515-530): histogram the signs of
@@ -762,6 +763,15 @@ class ContextModels:
         frac = pos/(pos+neg+1e-6); zero border ring.  With `sample_cap`, a
         stride-sampled subset estimates the fraction (training speed knob —
         the codec always passes None).
+
+        With `axis_name` (inside shard_map) the gather+cumsum over the coord
+        rows — the expensive, formerly mesh-replicated part (VERDICT r3 weak
+        #5) — is split into contiguous per-device row chunks whose partial
+        per-bin histograms psum to the total; the bin-boundary maps are pure
+        ALU on iotas and stay replicated.  Partial-sum addition reorders f32
+        adds vs the single cumsum, so float training bits can differ at
+        rounding level across device counts; the codec path (sample_cap=None,
+        axis_name=None, integer twin codec/intctx.py) is untouched.
         """
         scale = self.pn_res - 2
         f = self.cfg.n_features
@@ -769,33 +779,60 @@ class ContextModels:
         bounds = pn_ax["bounds"]
         n = pn_ax["n"]
         cap = eidx.shape[0]
+
+        def _sliced(rows, row_valid, bnd, gather_rows):
+            """Per-bin sums of the gathered indicator rows; device-sliced
+            over `axis_name` when set.  rows: static row count; row_valid:
+            [rows] bool; bnd: [bins+1] boundary positions into the row space;
+            gather_rows(lo, size) -> entry indices [size]."""
+            if axis_name is None:
+                sel = gather_rows(0, rows)
+                svals = _pos_indicator(table3d_q[self.fine_offset + sel])
+                svals = jnp.where(row_valid[:, None], svals, 0.0)
+                return _csum_diffs(svals, bnd)
+            nd = jax.lax.axis_size(axis_name)
+            chunk = -(-rows // nd)
+            lo = jax.lax.axis_index(axis_name) * chunk
+            sel = gather_rows(lo, chunk)
+            v_l = jax.lax.dynamic_slice(
+                jnp.pad(row_valid, (0, chunk * nd - rows)), (lo,), (chunk,))
+            svals = _pos_indicator(table3d_q[self.fine_offset + sel])
+            svals = jnp.where(v_l[:, None], svals, 0.0)
+            bnd_l = jnp.clip(bnd - lo, 0, chunk)
+            return jax.lax.psum(_csum_diffs(svals, bnd_l), axis_name)
+
         if sample_cap is not None and sample_cap < cap:
             m = jnp.minimum(n, cap)
             take = jnp.minimum(m, sample_cap)
-            # stride sample j -> floor(j*m/take); exact sampled-bin counts via
-            # f(x) = ceil(x*take/m)
-            j = jnp.arange(sample_cap, dtype=jnp.int32)
-            # stride sample in float32 (int products would overflow int32);
-            # the bin boundary map is derived from the same src array via
-            # searchsorted, so sampling stays self-consistent
+            # stride sample j -> floor(j*m/take) in float32 (int products
+            # would overflow int32); the bin boundary map is derived from the
+            # same j->src formula via searchsorted, so sampling stays
+            # self-consistent
             stride = m.astype(jnp.float32) / jnp.maximum(take, 1).astype(
                 jnp.float32)
-            src = jnp.floor(j.astype(jnp.float32) * stride).astype(jnp.int32)
-            src = jnp.minimum(src, jnp.maximum(m - 1, 0))
-            sel = eidx[jnp.minimum(src, cap - 1)]
-            valid = j < take
-            svals = _pos_indicator(
-                table3d_q[self.fine_offset + sel])          # [S, F]
-            svals = jnp.where(valid[:, None], svals, 0.0)
-            bmap = jnp.searchsorted(src, bounds).astype(jnp.int32)
+
+            def src_of(j):
+                s = jnp.floor(j.astype(jnp.float32) * stride).astype(jnp.int32)
+                return jnp.minimum(s, jnp.maximum(m - 1, 0))
+
+            j = jnp.arange(sample_cap, dtype=jnp.int32)
+            bmap = jnp.searchsorted(src_of(j), bounds).astype(jnp.int32)
             bmap = jnp.minimum(bmap, take)
-            pos = _csum_diffs(svals, bmap)
+            pos = _sliced(
+                sample_cap, j < take, bmap,
+                lambda lo, size: eidx[jnp.minimum(
+                    src_of(lo + jnp.arange(size, dtype=jnp.int32)), cap - 1)])
             cnt = (bmap[1:] - bmap[:-1]).astype(jnp.float32)[:, None]
         else:
-            valid = jnp.arange(cap) < jnp.minimum(n, cap)
-            svals = _pos_indicator(table3d_q[self.fine_offset + eidx])
-            svals = jnp.where(valid[:, None], svals, 0.0)
-            pos = _csum_diffs(svals, bounds)
+            def gather_rows(lo, size):
+                if size == cap:
+                    return eidx
+                pad = size * jax.lax.axis_size(axis_name) - cap
+                return jax.lax.dynamic_slice(jnp.pad(eidx, (0, pad)),
+                                             (lo,), (size,))
+
+            pos = _sliced(cap, jnp.arange(cap) < jnp.minimum(n, cap), bounds,
+                          gather_rows)
             cnt = (bounds[1:] - bounds[:-1]).astype(jnp.float32)[:, None]
         frac = pos / (cnt + 1e-6)
         plane = frac.reshape(scale, scale, f)
@@ -836,14 +873,16 @@ class ContextModels:
         return (3 * self.spec2.total_entries + self.spec3.total_entries) * f
 
     def rate_bits_2d(self, ent_params, tables: Dict[str, jnp.ndarray],
-                     key, cache: Dict, tbls: Optional[Dict] = None):
+                     key, cache: Dict, tbls: Optional[Dict] = None,
+                     axis_name: Optional[str] = None):
         """Total estimated bits of the three tri-plane tables (differentiable).
 
         Separable from the 3D half so the trainer can jit each independently
         — the combined gradient program exceeds what the TPU compiler
         tolerates at flagship scale.  Inside jit, pass tbls=self.table_arrays
         as a traced argument (closure capture costs ~7 s/MB of lowering on
-        the tunneled backend).
+        the tunneled backend).  `axis_name` (inside shard_map) shards the
+        frac-plane build across the mesh (pn_frac_plane).
         """
         cfg = self.cfg
         tbls = self.table_arrays if tbls is None else tbls
@@ -854,7 +893,8 @@ class ContextModels:
             if cfg.use_dimension_wise:
                 frac_plane = self.pn_frac_plane(
                     fine_table, cache["pn"][ax],
-                    sample_cap=cfg.pn_frac_sample_cap)
+                    sample_cap=cfg.pn_frac_sample_cap,
+                    axis_name=axis_name)
                 if not cfg.pn_frac_grad:
                     frac_plane = jax.lax.stop_gradient(frac_plane)
             else:
@@ -892,14 +932,17 @@ class ContextModels:
 
     def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
                       binaries: jnp.ndarray, key, cache: Dict,
-                      tbls: Optional[Dict] = None):
+                      tbls: Optional[Dict] = None,
+                      axis_name: Optional[str] = None):
         """Training-time bits-per-param (forward_binary_vxl_mixPg_3D2D).
 
         tables: dict of binarized (+-1) tables {'xyz','xy','xz','yz'}.
         Returns (bits_per_param, estimated MB).  Differentiable in both
-        ent_params and tables.
+        ent_params and tables.  `axis_name` (inside shard_map) shards the
+        2D frac-plane build across the mesh.
         """
-        ttl_bits = (self.rate_bits_2d(ent_params, tables, key, cache, tbls)
+        ttl_bits = (self.rate_bits_2d(ent_params, tables, key, cache, tbls,
+                                      axis_name=axis_name)
                     + self.rate_bits_3d(ent_params, tables["xyz"], key, cache,
                                         tbls))
         bpp = ttl_bits / self.total_param_count

@@ -223,10 +223,14 @@ class Trainer:
             return fn
         cfg = self.cfg
 
+        # under the mesh, the frac-plane gather+histogram is device-sliced
+        # and psum'd instead of replicated (VERDICT r3 weak #5)
+        ax = "data" if self.mesh is not None else None
+
         def loss(params, ent_params, scale, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
             bits = self.entropy.rate_bits_2d(ent_params, tables, key,
-                                             ent_cache, tbls)
+                                             ent_cache, tbls, axis_name=ax)
             return scale * bits, bits
 
         loss = self._maybe_shard_rate(loss)

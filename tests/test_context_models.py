@@ -224,6 +224,29 @@ class TestPnFrac:
         # noisy estimator by design: most of the support agrees
         assert ((full > 0) == (half > 0)).mean() > 0.75
 
+    @pytest.mark.parametrize("sample_cap", [None, 1 << 14, 1 << 10])
+    def test_sharded_build_matches_replicated(self, ctx, binaries, cache,
+                                              sample_cap):
+        """Device-sliced partial histograms + psum reproduce the replicated
+        frac plane (VERDICT r3 weak #5): same rows, same bins, adds reordered
+        only within f32 tolerance.  1<<10 < take exercises the sampled branch
+        where devices split the stride-sampled rows."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        rng = np.random.default_rng(5)
+        table = jnp.asarray(
+            np.sign(rng.standard_normal((ctx.spec3.total_entries, 2))))
+        pn = cache["pn"]["xz"]
+        want = np.asarray(ctx.pn_frac_plane(table, pn, sample_cap=sample_cap))
+
+        mesh = Mesh(np.asarray(jax.devices()), ("d",))
+        body = lambda t: ctx.pn_frac_plane(t, pn, sample_cap=sample_cap,
+                                           axis_name="d")
+        got = np.asarray(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(),), out_specs=P(),
+            check_vma=False)(table))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
 
 class TestSegmentTailsNumpy:
     def test_against_numpy(self):
