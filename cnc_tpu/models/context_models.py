@@ -913,10 +913,12 @@ class ContextModels:
         return ttl_bits
 
     def rate_bits_3d(self, ent_params, tbl3: jnp.ndarray, key, cache: Dict,
-                     tbls: Optional[Dict] = None):
+                     tbls: Optional[Dict] = None, with_util: bool = False):
         """Total estimated bits of the 3D grid table (differentiable).
 
-        Inside jit, pass tbls=self.table_arrays (see rate_bits_2d)."""
+        Inside jit, pass tbls=self.table_arrays (see rate_bits_2d).  With
+        `with_util`, also returns the ctx-vertex budget utilization
+        (masked vertices / v_ctx_cap; > 1 means drops)."""
         tbls = self.table_arrays if tbls is None else tbls
         ttl_bits = 0.0
         pg_by_level = {}
@@ -927,8 +929,10 @@ class ContextModels:
             pg_by_level[l] = pg_n
             if l in self.cfg.skip_levels_3d or l >= self.pg_level:
                 ttl_bits = ttl_bits + bits_n
-        return ttl_bits + self._bits_3d_sampled(
+        sampled, util = self._bits_3d_sampled(
             ent_params, tbl3, pg_by_level, cache, key, tbls)
+        ttl_bits = ttl_bits + sampled
+        return (ttl_bits, util) if with_util else ttl_bits
 
     def rate_estimate(self, ent_params, tables: Dict[str, jnp.ndarray],
                       binaries: jnp.ndarray, key, cache: Dict,
@@ -1241,7 +1245,7 @@ class ContextModels:
         f = cfg.n_features
         parts = self._slice_3d_windows(jax.random.fold_in(key, 7), tbls)
         if not parts:
-            return 0.0
+            return 0.0, 0.0
         # concat vertex windows (static total size)
         pos = jnp.concatenate([p["pos"] for p in parts])
         valid = jnp.concatenate([p["valid"] for p in parts])
@@ -1277,6 +1281,10 @@ class ContextModels:
         cap = cfg.v_ctx_cap
         src, total = scatter_ops.compact_mask_indices(mask, cap)
         cvalid = jnp.arange(cap) < jnp.minimum(total, cap)
+        # static-budget utilization (ROOFLINE lever #2: the ctx encode cost
+        # scales with cap, not with the masked count — measure before
+        # shrinking); > 1 means vertices were DROPPED from the pooling
+        ctx_util = total.astype(jnp.float32) / cap
 
         clev = levels[src]
         cpos = pos[src]
@@ -1326,7 +1334,8 @@ class ContextModels:
         bits = ent_ops.bernoulli_bits(values_q, pooled)
         bits = jnp.sum(jnp.where(exist[:, None], bits, 0.0))
         # extrapolation (utils_bpp_acc.py:700)
-        return bits / self.ttl_sample_valid_3d * self.ttl_entries_valid_3d
+        return (bits / self.ttl_sample_valid_3d * self.ttl_entries_valid_3d,
+                ctx_util)
 
 
 def _csum_diffs(svals: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:

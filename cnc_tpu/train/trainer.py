@@ -247,9 +247,10 @@ class Trainer:
 
         def loss(params, ent_params, scale, key, ent_cache, tbls):
             tables = rf.quantized_tables(params, cfg.model)
-            bits = self.entropy.rate_bits_3d(ent_params, tables["xyz"], key,
-                                             ent_cache, tbls)
-            return scale * bits, bits
+            bits, util = self.entropy.rate_bits_3d(
+                ent_params, tables["xyz"], key, ent_cache, tbls,
+                with_util=True)
+            return scale * bits, (bits, util)
 
         loss = self._maybe_shard_rate(loss)
 
@@ -314,7 +315,7 @@ class Trainer:
             if log_fn:
                 jax.block_until_ready(g2["xyz"])
                 log_fn("2D rate-grad compiled; compiling 3D rate-grad...")
-            (g3, ge3), bits3d = self._rate3d_grad_fn()(
+            (g3, ge3), (bits3d, ctx_util) = self._rate3d_grad_fn()(
                 self.params, self.ent_params, scale, key, ent_cache,
                 self.entropy.table_arrays)
             if log_fn:
@@ -325,7 +326,8 @@ class Trainer:
             ttl_bits = bits2d + bits3d
             aux = {**aux,
                    "bits_per_param": ttl_bits / self.entropy.total_param_count,
-                   "embed_MB": ttl_bits / 8.0 / 1024.0 / 1024.0}
+                   "embed_MB": ttl_bits / 8.0 / 1024.0 / 1024.0,
+                   "ctx_util": ctx_util}
         (self.params, self.ent_params, self.opt_state_rf,
          self.opt_state_ent) = self._apply_fn(use_entropy)(
             self.params, self.ent_params, self.opt_state_rf,
@@ -492,7 +494,8 @@ class Trainer:
                        f"max_depth={float(aux['max_depth']):.3f}")
                 if "bits_per_param" in aux:
                     msg += (f" | bits_per_param={float(aux['bits_per_param']):.3f}"
-                            f" | embed_MB={float(aux['embed_MB']):.3f}")
+                            f" | embed_MB={float(aux['embed_MB']):.3f}"
+                            f" | ctx_util={float(aux['ctx_util']):.2f}")
                 log_fn(msg)
             self.step += 1
             local += 1

@@ -313,8 +313,9 @@ class TestRateEstimate:
                        for l in range(ctx.spec3.n_levels)}
         tbls = ctx.table_arrays
 
-        got = ctx._bits_3d_sampled(ent_params, tbl3, pg_by_level, cache,
-                                   key, tbls)
+        got, util = ctx._bits_3d_sampled(ent_params, tbl3, pg_by_level, cache,
+                                         key, tbls)
+        assert 0.0 < float(util) <= 1.0
 
         # ---- old window-layout replica (same key => same windows) ----
         cfg = ctx.cfg

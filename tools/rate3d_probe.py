@@ -60,7 +60,8 @@ def main():
     pgs = {l: jnp.float32(0.5) for l in range(ctx.spec3.n_levels)}
 
     def ctx_only(tbl3, ent_params, cache, tbls):
-        return ctx._bits_3d_sampled(ent_params, tbl3, pgs, cache, key, tbls)
+        return ctx._bits_3d_sampled(ent_params, tbl3, pgs, cache, key,
+                                    tbls)[0]
 
     bench("ctx_fwd", ctx_only, tbl3, ent_params, cache, tbls)
     bench("ctx_grad", jax.grad(ctx_only, argnums=(0, 1)), tbl3, ent_params,
