@@ -96,7 +96,7 @@ def run_pipeline(cfg: CNCConfig, train_dataset, test_dataset, scene: str,
 def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
                      out_root: str = ".", max_steps: Optional[int] = None,
                      max_eval_images: Optional[int] = None,
-                     log_fn=print) -> PipelineResult:
+                     log_fn=print, log_every: int = 200) -> PipelineResult:
     """Pipeline body over a prebuilt (possibly reset_state-ed) Trainer.
 
     Split out of run_pipeline so an in-process RD sweep can reuse one
@@ -107,7 +107,8 @@ def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
     cfg = trainer.cfg
     entropy = trainer.entropy
     log_fn("training...")
-    elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn)
+    elapsed = trainer.fit(max_steps=max_steps, log_fn=log_fn,
+                          log_every=log_every)
 
     log_fn("evaluating (pre-codec)...")
     ev = trainer.evaluate(test_dataset, max_images=max_eval_images)

@@ -192,10 +192,12 @@ def main():
                 ckpt_mod.load_checkpoint(ck, trainer)
                 log(f"resumed {tag} from checkpoint at step {trainer.step}")
         t_pt = time.time()
+        # log every 50 steps: the overnight watchdog keys on log staleness
+        # and host-core contention can stretch a 200-step gap past it
         res = driver.run_with_trainer(
             trainer, test_ds, scene=tag, out_root=args.out_root,
             max_steps=args.max_steps, max_eval_images=args.max_eval_images,
-            log_fn=log)
+            log_fn=log, log_every=50)
         driver.append_result_row(res, tag, "Procedural_depth",
                                  out_root=args.out_root)
         wall = time.time() - t_pt
