@@ -1,0 +1,125 @@
+#!/bin/bash
+# Round-4 overnight TPU schedule, v3: drop the 20k phase so RD point 3 and
+# the sphere E2E both fit before the wall (the 20k reference-schedule run
+# moves to round 5's fresh window, resuming runs_20k/ckpt_* if present).
+#   1. adopt + finish the RD depth sweep (4 points)
+#   2. real-dataset E2E (Blender sphere 800^2, CLI driver)
+#   3. bounded bench.py pass
+# Usage: overnight_r4d.sh <wall-epoch> [adopted-timeout-pid]
+set -u
+cd /root/repo
+export PYTHONPATH="/root/.axon_site:/root/repo"
+WALL=${1:?usage: overnight_r4d.sh <wall-epoch> [adopted-pid]}
+ADOPTED=${2:-0}
+LOG=/tmp/overnight_r4.log
+STALE_S=1200
+say() { echo "[orch4 $(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+kill_tree() {
+  local w=$1 c
+  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
+  kill "$w" 2>/dev/null
+  sleep 10
+  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
+  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
+  sleep 5
+}
+
+watch_pid() {
+  local pid=$1 logfile=$2 age
+  while kill -0 "$pid" 2>/dev/null; do
+    if [ "$(date +%s)" -ge "$WALL" ]; then
+      say "wall hit; killing adopted $pid"; kill_tree "$pid"; return
+    fi
+    sleep 60
+    age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
+    if [ "$age" -gt "$STALE_S" ]; then
+      say "watchdog: adopted $pid stale ${age}s -> kill"
+      kill_tree "$pid"
+      return
+    fi
+  done
+}
+
+run_watched() {
+  local end=$1 logfile=$2 tries=$3; shift 3
+  local n=0 rc tpid age left
+  while [ "$n" -le "$tries" ]; do
+    left=$(( end - $(date +%s) ))
+    [ "$left" -lt 300 ] && { say "watched: <300s left, stopping"; return 2; }
+    say "watched start (attempt $((n+1)), ${left}s): $* >> $logfile"
+    touch "$logfile"
+    timeout "$left" "$@" >> "$logfile" 2>&1 &
+    tpid=$!
+    while kill -0 "$tpid" 2>/dev/null; do
+      sleep 60
+      age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
+      if [ "$age" -gt "$STALE_S" ]; then
+        say "watchdog: $logfile stale ${age}s -> kill + restart"
+        kill_tree "$tpid"
+        break
+      fi
+    done
+    wait "$tpid" 2>/dev/null; rc=$?
+    say "watched exit rc=$rc"
+    [ "$rc" -eq 0 ] && return 0
+    [ "$rc" -eq 124 ] && return 124
+    n=$((n+1)); sleep 20
+  done
+  return 1
+}
+
+points_done() { wc -l < runs_depth/summary.jsonl 2>/dev/null || echo 0; }
+
+say "v3 start; wall=$(date -d @"$WALL"); adopted=$ADOPTED; points=$(points_done)"
+
+if ! python -c "import cnc_tpu" 2>>"$LOG" || \
+   ! python tools/rd_sweep_depth.py --help > /dev/null 2>>"$LOG"; then
+  say "PREFLIGHT FAILED; aborting"
+  exit 1
+fi
+
+# ---- 1. RD depth sweep --------------------------------------------------------
+rd_end=$(( WALL - 5100 ))   # reserve sphere 3300s + bench 1500s + slack
+if [ "$ADOPTED" != 0 ] && kill -0 "$ADOPTED" 2>/dev/null; then
+  say "adopting running sweep pid $ADOPTED"
+  watch_pid "$ADOPTED" /tmp/sweep_r4b.log
+  say "adopted sweep ended; points=$(points_done)"
+fi
+while [ "$(points_done)" -lt 4 ]; do
+  left=$(( rd_end - $(date +%s) ))
+  [ "$left" -lt 1200 ] && { say "rd budget exhausted at $(points_done)/4"; break; }
+  run_watched "$rd_end" /tmp/sweep_r4b.log 6 \
+    python -u tools/rd_sweep_depth.py \
+      --points 2e-3@4,7e-4@4,4e-3@4,1e-3@4 --ctx_grad 0 --max_steps 2000 \
+      --pin_bucket 4096 --deadline_s 9e8 --out_root runs_depth
+  rc=$?
+  [ "$rc" -eq 124 ] && break
+  [ "$rc" -eq 1 ] && break
+done
+say "rd sweep phase done; points=$(points_done)"
+
+# ---- 2. real-dataset E2E (800^2 Blender sphere through the CLI driver) --------
+# budget generously: the pipeline renders THREE 800^2 eval passes (pre-codec,
+# post-codec, post-quant) plus a slow relay upload of the 460 MB ray stack
+left=$(( WALL - $(date +%s) ))
+if [ "$left" -gt 3600 ]; then
+  b=$(( left - 1200 )); [ "$b" -gt 4500 ] && b=4500
+  say "sphere E2E: budget ${b}s"
+  timeout "$b" python -u train_cnc_nerf_synthetic.py \
+    --data_root data_spheres --scene spheres --lmbda 2e-3 \
+    --ctx_grad 0 --rate_update_interval 4 --max_steps 300 \
+    --max_eval_images 1 --out_root runs_sphere > /tmp/sphere_e2e.log 2>&1
+  say "sphere E2E exited rc=$?"
+else
+  say "sphere E2E SKIPPED (${left}s left)"
+fi
+
+# ---- 3. fresh bench record ------------------------------------------------------
+left=$(( WALL - $(date +%s) ))
+if [ "$left" -gt 600 ]; then
+  say "bench pass: budget ${left}s"
+  timeout "$left" python -u bench.py > /tmp/bench_r4_final.json 2> /tmp/bench_r4_final.log
+  say "bench exited rc=$?"
+fi
+say "all done; TPU free"
