@@ -84,6 +84,12 @@ def main():
                     help="per-step sample budget (0 = reference 2^18); "
                          "reduced budgets trade samples/step for steps/s "
                          "so the 20k-step schedule fits a driver window")
+    ap.add_argument("--v_ctx_cap", type=int, default=0,
+                    help="override EntropyConfig.v_ctx_cap (0 = default "
+                         "2^21). ctx_util in the train log measured ~0.26 "
+                         "at steady state on the flagship depth run, so "
+                         "2^20 is the candidate for the round-5 cap-shrink "
+                         "RD validation (ROOFLINE lever #2)")
     ap.add_argument("--point_ckpt_every", type=int, default=500,
                     help="per-point checkpoint interval in steps (0 = off). "
                          "Every point writes <out_root>/ckpt_<tag>.npz; a "
@@ -122,7 +128,9 @@ def main():
         model=ModelConfig(n_features_per_level=args.n_features),
         entropy=EntropyConfig(n_features=args.n_features,
                               sample_num=args.sample_num,
-                              ctx_grad=bool(args.ctx_grad)),
+                              ctx_grad=bool(args.ctx_grad),
+                              **({"v_ctx_cap": args.v_ctx_cap}
+                                 if args.v_ctx_cap else {})),
         render=dataclasses.replace(RenderConfig(), **render_kw),
         train=dataclasses.replace(TrainConfig(), **train_kw),
     )
