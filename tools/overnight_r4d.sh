@@ -1,10 +1,12 @@
 #!/bin/bash
-# Round-4 overnight TPU schedule, v3: drop the 20k phase so RD point 3 and
-# the sphere E2E both fit before the wall (the 20k reference-schedule run
-# moves to round 5's fresh window, resuming runs_20k/ckpt_* if present).
-#   1. adopt + finish the RD depth sweep (4 points)
+# Round-4 TPU schedule, v5: the machine reboots between driver sessions and
+# wipes every untracked file, so the sweep must COMPLETE and be committed
+# inside one ~5h window.  v5 therefore runs the RD points at the validated
+# fast config's 20k-schedule shapes (--pin_bucket 1024 --sample_budget 65536,
+# ~1.3 s/step measured) so all four fit, and drops the final bench phase
+# (the round driver runs bench.py itself after the wall).
+#   1. adopt + finish the RD depth sweep (4 points, K=4 ctx_grad=0)
 #   2. real-dataset E2E (Blender sphere 800^2, CLI driver)
-#   3. bounded bench.py pass
 # Usage: overnight_r4d.sh <wall-epoch> [adopted-timeout-pid]
 set -u
 cd /root/repo
@@ -71,7 +73,7 @@ run_watched() {
 
 points_done() { wc -l < runs_depth/summary.jsonl 2>/dev/null || echo 0; }
 
-say "v3 start; wall=$(date -d @"$WALL"); adopted=$ADOPTED; points=$(points_done)"
+say "v5 start; wall=$(date -d @"$WALL"); adopted=$ADOPTED; points=$(points_done)"
 
 if ! python -c "import cnc_tpu" 2>>"$LOG" || \
    ! python tools/rd_sweep_depth.py --help > /dev/null 2>>"$LOG"; then
@@ -80,7 +82,7 @@ if ! python -c "import cnc_tpu" 2>>"$LOG" || \
 fi
 
 # ---- 1. RD depth sweep --------------------------------------------------------
-rd_end=$(( WALL - 5100 ))   # reserve sphere 3300s + bench 1500s + slack
+rd_end=$(( WALL - 4200 ))   # reserve sphere 3300s + slack (no bench phase)
 if [ "$ADOPTED" != 0 ] && kill -0 "$ADOPTED" 2>/dev/null; then
   say "adopting running sweep pid $ADOPTED"
   watch_pid "$ADOPTED" /tmp/sweep_r4b.log
@@ -92,7 +94,8 @@ while [ "$(points_done)" -lt 4 ]; do
   run_watched "$rd_end" /tmp/sweep_r4b.log 6 \
     python -u tools/rd_sweep_depth.py \
       --points 2e-3@4,7e-4@4,4e-3@4,1e-3@4 --ctx_grad 0 --max_steps 2000 \
-      --pin_bucket 4096 --deadline_s 9e8 --out_root runs_depth
+      --pin_bucket 1024 --sample_budget 65536 \
+      --deadline_s 9e8 --out_root runs_depth
   rc=$?
   [ "$rc" -eq 124 ] && break
   [ "$rc" -eq 1 ] && break
@@ -115,11 +118,4 @@ else
   say "sphere E2E SKIPPED (${left}s left)"
 fi
 
-# ---- 3. fresh bench record ------------------------------------------------------
-left=$(( WALL - $(date +%s) ))
-if [ "$left" -gt 600 ]; then
-  say "bench pass: budget ${left}s"
-  timeout "$left" python -u bench.py > /tmp/bench_r4_final.json 2> /tmp/bench_r4_final.log
-  say "bench exited rc=$?"
-fi
 say "all done; TPU free"
