@@ -14,7 +14,12 @@ export PYTHONPATH="/root/.axon_site:/root/repo"
 WALL=${1:?usage: overnight_r4d.sh <wall-epoch> [adopted-pid]}
 ADOPTED=${2:-0}
 LOG=/tmp/overnight_r4.log
-STALE_S=1200
+# Staleness threshold: must exceed the longest legitimately-silent phase.
+# With a cold jit cache (axon cannot serialize TPU executables, so every
+# reboot recompiles) the entropy build + first compiles can be silent for
+# 20-40 min; 1200s caused spurious kill-thrash on 2026-08-20.  Training
+# logs every 50 steps, so a 40-min silence there is a real relay hang.
+STALE_S=${STALE_S:-2400}
 say() { echo "[orch4 $(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 kill_tree() {
