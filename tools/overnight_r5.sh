@@ -1,0 +1,85 @@
+#!/bin/bash
+# Round-5 TPU schedule: the 20k-step reference-schedule run (VERDICT r3 #3).
+#
+# Machines reboot between driver sessions and wipe untracked files (jit
+# cache included), so the run must fit ONE window.  Cost model, from the
+# round-4 RD sweep at identical shapes (runs_depth/summary.jsonl,
+# pin_bucket 1024 / sample_budget 65536 / K=4 / ctx_grad=0):
+#   - default v_ctx_cap 2^21: ~1.3 s/step -> 20k = 7.2 h (does NOT fit)
+#   - v_ctx_cap 2^20 (ROOFLINE lever #2; ctx_util measured ~0.29 at steady
+#     state, so a 2^20 cap still holds ~3.4x the steady-state vertex count):
+#     expected ~0.9 s/step -> 20k = ~5 h + ~25 min fixed + ~15 min tail.
+# The launcher session should check s/step in /tmp/run20k.log after the
+# first ~200 steps and abort early if 20k will not fit the wall.
+# On-track check: the run logs eval-free training metrics every 50 steps;
+# compare loss/bits at step 2000 against the round-4 λ=2e-3 anchor (same
+# config apart from the cap) before letting it continue.
+#
+# Usage: overnight_r5.sh <wall-epoch>
+set -u
+cd /root/repo
+export PYTHONPATH="/root/.axon_site:/root/repo"
+WALL=${1:?usage: overnight_r5.sh <wall-epoch>}
+LOG=/tmp/overnight_r5.log
+# Cold-compile phases can be silent 20-40 min (the backend cannot
+# serialize TPU executables); training logs every 50 steps.
+STALE_S=${STALE_S:-2400}
+say() { echo "[orch5 $(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+kill_tree() {
+  local w=$1 c
+  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
+  kill "$w" 2>/dev/null
+  sleep 10
+  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
+  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
+  sleep 5
+}
+
+run_watched() {
+  local end=$1 logfile=$2 tries=$3; shift 3
+  local n=0 rc tpid age left
+  while [ "$n" -le "$tries" ]; do
+    left=$(( end - $(date +%s) ))
+    [ "$left" -lt 300 ] && { say "watched: <300s left, stopping"; return 2; }
+    say "watched start (attempt $((n+1)), ${left}s): $* >> $logfile"
+    touch "$logfile"
+    timeout "$left" "$@" >> "$logfile" 2>&1 &
+    tpid=$!
+    while kill -0 "$tpid" 2>/dev/null; do
+      sleep 60
+      age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
+      if [ "$age" -gt "$STALE_S" ]; then
+        say "watchdog: $logfile stale ${age}s -> kill + restart"
+        kill_tree "$tpid"
+        break
+      fi
+    done
+    wait "$tpid" 2>/dev/null; rc=$?
+    say "watched exit rc=$rc"
+    [ "$rc" -eq 0 ] && return 0
+    [ "$rc" -eq 124 ] && return 124
+    n=$((n+1)); sleep 20
+  done
+  return 1
+}
+
+say "r5 start; wall=$(date -d @"$WALL")"
+
+if ! python -c "import cnc_tpu" 2>>"$LOG" || \
+   ! python tools/rd_sweep_depth.py --help > /dev/null 2>>"$LOG"; then
+  say "PREFLIGHT FAILED; aborting"
+  exit 1
+fi
+
+# ---- 20k reference-schedule run (checkpointed every 500 steps) --------------
+# The LR milestones at 9000-19000 (train_CNC_nerf_synthetic.py:254-294) fire
+# for the first time here.  Resumes runs_20k/ckpt_* after a watchdog restart.
+run_end=$(( WALL - 300 ))
+run_watched "$run_end" /tmp/run20k.log 8 \
+  python -u tools/rd_sweep_depth.py \
+    --points 2e-3@4 --ctx_grad 0 --max_steps 20000 \
+    --pin_bucket 1024 --sample_budget 65536 --v_ctx_cap 1048576 \
+    --deadline_s 9e8 --out_root runs_20k
+say "20k phase done rc=$?: summary=$(cat runs_20k/summary.jsonl 2>/dev/null | wc -l) ckpt=$(ls runs_20k/ckpt_* 2>/dev/null)"
+say "all done; TPU free"
