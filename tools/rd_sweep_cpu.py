@@ -101,6 +101,11 @@ def main():
                          "'v' suffix")
     ap.add_argument("--size", type=str, default="small",
                     choices=["tiny", "small"])
+    ap.add_argument("--v_ctx_cap", type=int, default=None,
+                    help="override EntropyConfig.v_ctx_cap for every point "
+                         "(ROOFLINE lever #2 validation: shrink the sampled "
+                         "3D ctx-vertex budget and check the RD point stays "
+                         "on-curve)")
     ap.add_argument("--out_root", type=str, default=".")
     args = ap.parse_args()
 
@@ -112,13 +117,18 @@ def main():
         cfg = sweep_config(lmbda, args.steps, args.size)
         cfg = dataclasses.replace(
             cfg,
-            entropy=dataclasses.replace(cfg.entropy, ctx_grad=cg),
+            entropy=dataclasses.replace(
+                cfg.entropy, ctx_grad=cg,
+                **({"v_ctx_cap": args.v_ctx_cap}
+                   if args.v_ctx_cap is not None else {})),
             render=dataclasses.replace(
                 cfg.render,
                 visible_frac=args.visible_frac if vf else None),
             train=dataclasses.replace(cfg.train, rate_update_interval=k))
         scene = (f"cpu_rd_{args.size}_l{lmbda:g}_k{k}_cg{int(cg)}"
-                 + ("_vf" if vf else ""))
+                 + ("_vf" if vf else "")
+                 + (f"_cap{args.v_ctx_cap}" if args.v_ctx_cap is not None
+                    else ""))
         t0 = time.time()
         res = driver.run_pipeline(
             cfg, ds, test, scene=scene, out_root=args.out_root,
