@@ -165,8 +165,16 @@ def render_rays_eval(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
 def render_image(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
                  aabb, binaries, rays_o, rays_d, render_bkgd,
                  chunk: Optional[int] = None,
+                 progress_fn=None, progress_every: int = 8,
                  _jitted_cache={}):
-    """Host-side loop rendering a full image in chunks via render_rays_eval."""
+    """Host-side loop rendering a full image in chunks via render_rays_eval.
+
+    progress_fn(done_chunks, total_chunks), when given, is called every
+    `progress_every` chunks AFTER forcing the latest chunk to finish on
+    device (a host-pulled reduction — through the axon relay
+    block_until_ready does not synchronize, see .claude/skills/verify).
+    Without it a full-image eval is one silent async dispatch burst that a
+    log-staleness watchdog cannot distinguish from a relay hang."""
     h, w = rays_o.shape[:2]
     n = h * w
     chunk = chunk or rcfg.eval_chunk_rays
@@ -183,10 +191,16 @@ def render_image(params: Dict, mcfg: ModelConfig, rcfg: RenderConfig,
         fn = jax.jit(functools.partial(render_rays_eval, mcfg=mcfg, rcfg=rcfg))
         _jitted_cache[(mcfg, rcfg, chunk)] = fn
     outs = []
+    total_chunks = (o.shape[0] + chunk - 1) // chunk
     for i in range(0, o.shape[0], chunk):
         outs.append(fn(params, aabb=aabb, binaries=binaries,
                        rays_o=o[i:i + chunk], rays_d=d[i:i + chunk],
                        render_bkgd=render_bkgd))
+        done = len(outs)
+        if progress_fn is not None and (done % progress_every == 0
+                                        or done == total_chunks):
+            float(jnp.sum(outs[-1][0]))   # host-pulled sync (relay-safe)
+            progress_fn(done, total_chunks)
     rgb = jnp.concatenate([x[0] for x in outs])[:n].reshape(h, w, 3)
     opacity = jnp.concatenate([x[1] for x in outs])[:n].reshape(h, w, 1)
     depth = jnp.concatenate([x[2] for x in outs])[:n].reshape(h, w, 1)

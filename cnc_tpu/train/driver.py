@@ -111,7 +111,8 @@ def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
                           log_every=log_every)
 
     log_fn("evaluating (pre-codec)...")
-    ev = trainer.evaluate(test_dataset, max_images=max_eval_images)
+    ev = trainer.evaluate(test_dataset, max_images=max_eval_images,
+                          log_fn=log_fn)
 
     embed_mb_est = embed_mb_codec = 0.0
     enc_s = dec_s = 0.0
@@ -152,7 +153,8 @@ def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
              "config": cfg.to_dict()})
 
     log_fn("evaluating (post-codec)...")
-    ev_codec = trainer.evaluate(test_dataset, max_images=max_eval_images)
+    ev_codec = trainer.evaluate(test_dataset,
+                                max_images=max_eval_images, log_fn=log_fn)
 
     # 13-bit MLP quantization sweep (driver :508-556)
     quant_results = []
@@ -161,7 +163,8 @@ def run_with_trainer(trainer: Trainer, test_dataset, scene: str,
     for digits in cfg.train.mlp_quant_digits:
         mb, _, q = codec_mod.quantize_mlp_params(mlp_params, digits)
         trainer.params = {**trainer.params, **q}
-        ev_q = trainer.evaluate(test_dataset, max_images=max_eval_images)
+        ev_q = trainer.evaluate(test_dataset, max_images=max_eval_images,
+                                log_fn=log_fn)
         quant_results.append({"digits": digits, "mlp_MB": mb, **ev_q})
 
     _, vxl_bits, _ = occ.occupancy_grid_size_bits(trainer.occ_state.binaries)

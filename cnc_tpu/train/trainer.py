@@ -505,21 +505,28 @@ class Trainer:
         return time.time() - tic
 
     # ----------------------------------------------------------------- eval
-    def eval_image(self, index: int, dataset=None):
+    def eval_image(self, index: int, dataset=None, progress_fn=None):
         ds = dataset or self.dataset
         rays, gt = ds.image_and_rays(index)
         rgb, opacity, depth = renderer.render_image(
             self.params, self.cfg.model, self.cfg.render, self.aabb,
             self.occ_state.binaries, rays.origins, rays.viewdirs,
-            jnp.ones((3,)))
+            jnp.ones((3,)), progress_fn=progress_fn)
         return rgb, gt
 
-    def evaluate(self, dataset=None, max_images: Optional[int] = None):
+    def evaluate(self, dataset=None, max_images: Optional[int] = None,
+                 log_fn=None):
+        """log_fn, when given, receives a per-8-chunk heartbeat during each
+        image render so long evals stay visible to log-staleness watchdogs
+        (the axon relay can hang mid-run; silence must mean 'hung')."""
         ds = dataset or self.dataset
         n = len(ds) if max_images is None else min(max_images, len(ds))
         psnrs, ssims, lpips_vals = [], [], []
         for i in range(n):
-            rgb, gt = self.eval_image(i, ds)
+            prog = (None if log_fn is None else
+                    (lambda c, t, _i=i: log_fn(
+                        f"  eval image {_i + 1}/{n}: chunk {c}/{t}")))
+            rgb, gt = self.eval_image(i, ds, progress_fn=prog)
             psnrs.append(float(M.psnr(rgb, gt)))
             ssims.append(float(M.ssim(rgb, gt)))
             lp = M.lpips_fn(np.asarray(rgb), np.asarray(gt))

@@ -247,6 +247,30 @@ class TestModelSmoke:
         np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_e),
                                    atol=2e-2)
 
+    def test_render_image_progress_heartbeat(self):
+        """render_image's progress_fn fires every progress_every chunks and
+        at the final chunk — the watchdog heartbeat long 800^2 evals rely on
+        (a silent eval is indistinguishable from an axon relay hang)."""
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=64,
+                           resolutions_3d=(10, 18, 34),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=10,
+                           pe_num_freqs=4)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), mcfg)
+        binaries = jnp.ones((16, 16, 16), bool)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 16, 16)
+        calls = []
+        rgb, op, depth = renderer.render_image(
+            params, mcfg, RCFG, AABB, binaries, rays.origins, rays.viewdirs,
+            jnp.ones(3), chunk=64, progress_fn=lambda c, t: calls.append((c, t)),
+            progress_every=2)
+        # 256 rays / 64-ray chunks = 4 chunks -> fires at 2 and 4 (final)
+        assert calls == [(2, 4), (4, 4)]
+        assert rgb.shape == (16, 16, 3)
+        assert np.all(np.isfinite(np.asarray(rgb)))
+
 
 class TestVisibilityPrune:
     """Visibility-pruned training render (renderer.render_rays_train with
