@@ -2,15 +2,22 @@
 # Round-5 TPU schedule: the 20k-step reference-schedule run (VERDICT r3 #3).
 #
 # Machines reboot between driver sessions and wipe untracked files (jit
-# cache included), so the run must fit ONE window.  Cost model, from the
-# round-4 RD sweep at identical shapes (runs_depth/summary.jsonl,
-# pin_bucket 1024 / sample_budget 65536 / K=4 / ctx_grad=0):
-#   - default v_ctx_cap 2^21: ~1.3 s/step -> 20k = 7.2 h (does NOT fit)
-#   - v_ctx_cap 2^20 (ROOFLINE lever #2; ctx_util measured ~0.29 at steady
-#     state, so a 2^20 cap still holds ~3.4x the steady-state vertex count):
-#     expected ~0.9 s/step -> 20k = ~5 h + ~25 min fixed + ~15 min tail.
+# cache included), but the git tree persists across rounds.  Cost model,
+# MEASURED on hardware 2026-08-20 (runs_depth + runs_capval, pin_bucket
+# 1024 / sample_budget 65536 / K=4 / ctx_grad=0):
+#   - default v_ctx_cap 2^21: 1.58 s/step -> 20k = 8.8 h (does NOT fit)
+#   - v_ctx_cap 2^20 (ROOFLINE lever #2, RD-validated by the runs_capval
+#     point): 1.26 s/step -> 20k = 7.0 h + ~25 min fixed.  Does NOT fit a
+#     single 5 h window either — the round-4 tail therefore committed a
+#     mid-run checkpoint (runs_20k/ckpt_l0.002_k4.npz, written by
+#     tools/head_start_20k.sh); rd_sweep_depth auto-resumes from it, so
+#     round 5 only needs the REMAINING ~16k steps ≈ 5.6 h, and its own
+#     500-step checkpoints + watchdog let the run span multiple agent
+#     sessions inside the round (mid-round reboots keep untracked files;
+#     only round transitions wipe them — commit the latest ckpt whenever
+#     a session might be the round's last).
 # The launcher session should check s/step in /tmp/run20k.log after the
-# first ~200 steps and abort early if 20k will not fit the wall.
+# first ~200 steps and abort early if the remainder will not fit the wall.
 # On-track check: the run logs eval-free training metrics every 50 steps;
 # compare loss/bits at step 2000 against the round-4 λ=2e-3 anchor (same
 # config apart from the cap) before letting it continue.
