@@ -6,8 +6,9 @@ flagship configuration (budgeted occupancy rendering + joint entropy rate
 estimate + both optimizers) in TWO configurations (VERDICT r3 #4):
 
   * fast     — the validated speed knobs (rate_update_interval=4,
-               ctx_grad=False; on the RD curve at 2000-step depth,
-               RESULTS.md round 3 / runs_cpu_knobs);
+               ctx_grad=False, v_ctx_cap=2^20; each on the RD curve at
+               2000-step depth — RESULTS.md round 3 / runs_cpu_knobs for
+               K and ctx_grad, runs_capval for the ctx-vertex cap);
   * faithful — reference-default semantics (rate gradients every step,
                context-feature gathers differentiated), the config whose
                objective matches the reference driver step for step
@@ -44,8 +45,9 @@ _RESULT = {
     "value": 0.0,
     "unit": "samples/s",
     "vs_baseline": 0.0,
-    "note": "value/vs_baseline = fast config (K=4, ctx_grad=0); "
-            "see fast/faithful sub-records for measured samples",
+    "note": "value/vs_baseline = fast config (K=4, ctx_grad=0, "
+            "v_ctx_cap=2^20); see fast/faithful sub-records for "
+            "measured samples",
     "fast": None,
     "faithful": None,
 }
@@ -168,11 +170,11 @@ def main():
     log("bench devices:", jax.devices())
     devices_seen.set()
 
-    def make_cfg(rate_k: int, ctx_grad: bool) -> CNCConfig:
+    def make_cfg(rate_k: int, ctx_grad: bool, v_ctx_cap: int) -> CNCConfig:
         return CNCConfig(
             model=ModelConfig(n_features_per_level=4),
             entropy=EntropyConfig(n_features=4, sample_num=100000,
-                                  ctx_grad=ctx_grad),
+                                  ctx_grad=ctx_grad, v_ctx_cap=v_ctx_cap),
             render=RenderConfig(),
             # pin the ray bucket to the measured steady value (4096 on this
             # scene): letting the dynamic batcher wander pays a fresh
@@ -185,8 +187,10 @@ def main():
                                       rate_update_interval=rate_k),
         )
 
-    cfg_fast = make_cfg(4, False)
-    cfg_faith = make_cfg(1, True)
+    # fast adopts ROOFLINE lever #2 (ctx-vertex cap 2^20, RD-validated at
+    # depth in runs_capval); faithful keeps the default 2^21 budget
+    cfg_fast = make_cfg(4, False, 1 << 20)
+    cfg_faith = make_cfg(1, True, 1 << 21)
     t0 = time.time()
     ds = scenes.ProceduralDataset("blocks", n_images=8, width=128,
                                   height=128, n_steps_gt=256)
