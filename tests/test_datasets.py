@@ -217,6 +217,7 @@ def test_nerf360_loader(tmp_path):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_blender_smoke_train(tmp_path):
     """A few real training steps through the Blender fixture path."""
     from cnc_tpu.data.nerf_synthetic import SubjectLoader

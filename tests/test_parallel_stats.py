@@ -36,6 +36,7 @@ def _setup(sample_num):
 
 
 
+@pytest.mark.slow
 def test_sharded_rate_estimate_is_unbiased():
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(3)

@@ -120,6 +120,7 @@ class TestMarch:
 
 
 class TestComposite:
+    @pytest.mark.slow
     def test_matches_dense_renderer(self):
         """Occupancy-pruned budgeted rendering ~= dense brute force."""
         binaries = occupancy_from_scene(SCENE, 64, RCFG.render_step_size,
@@ -300,6 +301,7 @@ class TestVisibilityPrune:
         d = rays.viewdirs.reshape(-1, 3)
         return mcfg, params, binaries, o, d
 
+    @pytest.mark.slow
     def test_outputs_and_grads_match_unpruned(self):
         """With a prune buffer big enough for every visible sample, outputs
         AND parameter gradients are identical to the unpruned render."""

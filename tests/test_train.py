@@ -1,5 +1,6 @@
 """End-to-end training smoke test on a procedural scene (lambda=0 slice)."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -44,6 +45,7 @@ def test_schedule_matches_torch_chained():
     np.testing.assert_allclose(float(s(35)), 0.25, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_training_improves_psnr():
     cfg = tiny_config()
     ds = scenes.ProceduralDataset("sphere", n_images=8, width=48, height=48,
@@ -58,6 +60,7 @@ def test_training_improves_psnr():
     assert p > 14.0, f"psnr after training too low: {p}"
 
 
+@pytest.mark.slow
 def test_warm_compile_then_fit():
     """warm_compile populates the jit caches concurrently; fit() afterwards
     must reuse them (no behavior change) and train to finite metrics."""
@@ -88,6 +91,7 @@ def test_warm_compile_then_fit():
     assert np.isfinite(float(M.psnr(rgb, gt)))
 
 
+@pytest.mark.slow
 def test_rate_update_interval():
     """rate_update_interval=2 must run rate grads only on even steps (ent
     params frozen in between) and keep training stable."""

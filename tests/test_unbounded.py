@@ -4,6 +4,7 @@ Reference parity target: contract_to_unisphere (examples/radiance_fields/
 ngp.py:337-361, ord=2 branch) and the unbounded query path (ngp.py:515-518).
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -71,6 +72,7 @@ class TestContraction:
 
 
 class TestUnboundedTraining:
+    @pytest.mark.slow
     def test_smoke_train(self):
         from cnc_tpu.data.scenes import ProceduralDataset
         from cnc_tpu.train.trainer import Trainer

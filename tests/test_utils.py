@@ -1,5 +1,6 @@
 """Checkpoint roundtrip, profiling helpers, camera undistortion, PDF ops."""
 
+import pytest
 import dataclasses
 import numpy as np
 import jax
@@ -107,6 +108,7 @@ def test_propnet_sampling_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_trainer_periodic_checkpoint_and_resume(tmp_path):
     import os
     """fit() writes checkpoints at the configured cadence and a new Trainer
