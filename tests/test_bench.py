@@ -14,6 +14,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -58,3 +60,33 @@ def test_watchdog_emits_zero_record_and_exits_zero():
     assert rec["value"] == 0.0
     assert rec["unit"] == "samples/s"
     assert rec["vs_baseline"] == 0.0
+
+
+@pytest.mark.slow
+def test_slow_setup_emits_nonzero_partial_estimate():
+    """VERDICT r4 weak #1: a slow setup must never zero the benchmark.
+
+    CNC_BENCH_TEST_DEADLINE_AFTER_MINI simulates the driver deadline
+    arriving immediately after the 3-step mini-measurement (i.e. the fixed
+    costs consumed nearly the whole window).  The emitted record must carry
+    the nonzero partial throughput estimate banked by those first steps."""
+    env = dict(os.environ)
+    env["CNC_BENCH_TINY"] = "1"
+    env["CNC_BENCH_TEST_DEADLINE_AFTER_MINI"] = "1"
+    env["CNC_BENCH_DEADLINE_S"] = "100000"   # real deadline never fires
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import runpy, sys; sys.argv = ['bench.py'];"
+         "runpy.run_path('bench.py', run_name='__main__')"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "rd_train_throughput"
+    assert rec["value"] > 0.0, (rec, res.stderr[-1000:])
+    assert rec["vs_baseline"] > 0.0
+    assert rec["fast"] is None          # deadline hit before the full pass
+    assert "deadline" in res.stderr

@@ -30,46 +30,7 @@ WALL=${1:?usage: overnight_r5.sh <wall-epoch>}
 LOG=/tmp/overnight_r5.log
 # Cold-compile phases can be silent 20-40 min (the backend cannot
 # serialize TPU executables); training logs every 50 steps.
-STALE_S=${STALE_S:-2400}
-say() { echo "[orch5 $(date +%H:%M:%S)] $*" >> "$LOG"; }
-
-kill_tree() {
-  local w=$1 c
-  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
-  kill "$w" 2>/dev/null
-  sleep 10
-  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
-  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
-  sleep 5
-}
-
-run_watched() {
-  local end=$1 logfile=$2 tries=$3; shift 3
-  local n=0 rc tpid age left
-  while [ "$n" -le "$tries" ]; do
-    left=$(( end - $(date +%s) ))
-    [ "$left" -lt 300 ] && { say "watched: <300s left, stopping"; return 2; }
-    say "watched start (attempt $((n+1)), ${left}s): $* >> $logfile"
-    touch "$logfile"
-    timeout "$left" "$@" >> "$logfile" 2>&1 &
-    tpid=$!
-    while kill -0 "$tpid" 2>/dev/null; do
-      sleep 60
-      age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
-      if [ "$age" -gt "$STALE_S" ]; then
-        say "watchdog: $logfile stale ${age}s -> kill + restart"
-        kill_tree "$tpid"
-        break
-      fi
-    done
-    wait "$tpid" 2>/dev/null; rc=$?
-    say "watched exit rc=$rc"
-    [ "$rc" -eq 0 ] && return 0
-    [ "$rc" -eq 124 ] && return 124
-    n=$((n+1)); sleep 20
-  done
-  return 1
-}
+source "$(dirname "$0")/watchdog_lib.sh"
 
 say "r5 start; wall=$(date -d @"$WALL")"
 
