@@ -344,3 +344,46 @@ def test_blender_conventions_at_800(tmp_path):
     got = np.asarray(pixels)
     mismatch = np.mean(np.any(np.abs(got - want) > 2 / 255.0, axis=-1))
     assert mismatch < 2e-3, f"{mismatch:.2%} of sampled rays disagree"
+
+
+def test_tanks_conventions_at_1080p(tmp_path):
+    """VERDICT r4 missing #5 prep: camera-convention errors invisible at
+    fixture scale.  Generates a 1920x1080 NSVF-layout dataset (independent
+    numpy raytracer, OpenCV convention) via tools/make_tanks_nsvf.py and
+    loads it through the real SubjectLoaderTanks: every loader ray, traced
+    through the same sphere scene, must reproduce its pixel's color, and
+    bbox.txt must drive the aabb*1.2 + step-quantization rule."""
+    import importlib.util
+
+    from cnc_tpu.data.tanks import SubjectLoaderTanks, load_scene_bbox
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "make_tanks_nsvf.py")
+    spec = importlib.util.spec_from_file_location("make_tanks_nsvf", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.make_dataset(str(tmp_path), n_train=2, n_test=1)
+
+    aabb, step = load_scene_bbox(str(tmp_path), "Spheres")
+    np.testing.assert_allclose(aabb, [-1.56] * 3 + [1.56] * 3, rtol=1e-6)
+    assert step == 4e-3                       # raw 0.2 >= 0.15 quantization
+
+    ds = SubjectLoaderTanks("Spheres", str(tmp_path), "train")
+    assert ds.WIDTH == 1920 and ds.HEIGHT == 1080
+    assert not ds.OPENGL_CAMERA
+
+    rays, pixels = ds.image_and_rays(0)
+    o = np.asarray(rays.origins).reshape(-1, 3)
+    v = np.asarray(rays.viewdirs).reshape(-1, 3)
+    want = mod.trace(o, v)                    # white background baked in
+    got = np.asarray(pixels).reshape(-1, 3)
+    mismatch = np.mean(np.any(np.abs(got - want) > 2 / 255.0, axis=-1))
+    assert mismatch < 1e-3, f"{mismatch:.2%} of 1080p pixels disagree"
+
+    ds_tr = SubjectLoaderTanks("Spheres", str(tmp_path), "train",
+                               num_rays=4096)
+    rays, pixels = ds_tr.fetch_rays(jax.random.PRNGKey(0), 4096)
+    want = mod.trace(np.asarray(rays.origins), np.asarray(rays.viewdirs))
+    got = np.asarray(pixels)
+    mismatch = np.mean(np.any(np.abs(got - want) > 2 / 255.0, axis=-1))
+    assert mismatch < 2e-3, f"{mismatch:.2%} of sampled rays disagree"
