@@ -393,3 +393,59 @@ class TestVisibilityPrune:
         assert 0 <= rr < o.shape[0]
         np.testing.assert_allclose(np.asarray(out.rgb)[:rr],
                                    np.asarray(out_full.rgb)[:rr], atol=1e-6)
+
+
+class TestMLPFields:
+    """Library example fields (mlp.py:14-395): vanilla / T-NeRF / NDR."""
+
+    def test_vanilla_forward_shapes(self):
+        from cnc_tpu.models import mlp_fields as mf
+        p = mf.init_vanilla_nerf(jax.random.PRNGKey(0), net_depth=3,
+                                 net_width=32)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1)
+        d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        rgb, sigma = mf.forward(p, x, d)
+        assert rgb.shape == (64, 3) and sigma.shape == (64,)
+        assert bool(jnp.all(jnp.isfinite(rgb))) and bool(jnp.all(sigma >= 0))
+
+    def test_ndr_warp_near_identity_at_init(self):
+        """The U(0,1e-4) output inits + the identity-composing rolls
+        (mlp.py:359-366: [1,2,0] then [2,0,1]) make the initial warp the
+        identity up to ~1e-3."""
+        from cnc_tpu.models import mlp_fields as mf
+        p = mf.init_ndr_nerf(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-1)
+        t = jax.random.uniform(jax.random.PRNGKey(2), (128, 1))
+        w = mf.ndr_warp(p, x, t)
+        assert float(jnp.abs(w - x).max()) < 1e-2
+
+    def test_ndr_time_moves_the_warp(self):
+        from cnc_tpu.models import mlp_fields as mf
+        p = mf.init_ndr_nerf(jax.random.PRNGKey(0))
+        # scale a warp-output weight so time actually matters
+        p["blocks"][0]["warp1"]["out"]["w"] = (
+            p["blocks"][0]["warp1"]["out"]["w"] * 1e4)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1)
+        w0 = mf.ndr_warp(p, x, jnp.zeros((32, 1)))
+        w1 = mf.ndr_warp(p, x, jnp.full((32, 1), 0.7))
+        assert float(jnp.abs(w0 - w1).max()) > 1e-4
+
+    def test_ndr_density_and_grads_finite(self):
+        from cnc_tpu.models import mlp_fields as mf
+        p = mf.init_ndr_nerf(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1)
+        t = jax.random.uniform(jax.random.PRNGKey(2), (16, 1))
+
+        def loss(blocks):
+            # meta carries ints; differentiate the warp blocks only
+            return jnp.sum(mf.ndr_query_density({**p, "blocks": blocks},
+                                                x, t))
+
+        g = jax.grad(loss)(p["blocks"])
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+        d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        rgb, sigma = mf.ndr_forward(p, x, d, t)
+        assert rgb.shape == (16, 3) and sigma.shape == (16,)
+        op = mf.ndr_query_opacity(p, jax.random.PRNGKey(3), x,
+                                  jnp.linspace(0, 1, 5), 5e-3)
+        assert op.shape == (16,)
