@@ -17,18 +17,7 @@ export PYTHONPATH="/root/.axon_site:/root/repo"
 WALL=${1:?usage: capval_r4.sh <wall-epoch> [wait-pid]}
 WAIT=${2:-0}
 LOG=/tmp/capval_r4.log
-STALE_S=${STALE_S:-2400}
-say() { echo "[capval $(date +%H:%M:%S)] $*" >> "$LOG"; }
-
-kill_tree() {
-  local w=$1 c
-  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
-  kill "$w" 2>/dev/null
-  sleep 10
-  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
-  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
-  sleep 5
-}
+source "$(dirname "$0")/watchdog_lib.sh"
 
 say "start; wall=$(date -d @"$WALL"); waiting on pid $WAIT"
 while [ "$WAIT" != 0 ] && kill -0 "$WAIT" 2>/dev/null; do

@@ -19,18 +19,7 @@ LOG=/tmp/overnight_r4.log
 # reboot recompiles) the entropy build + first compiles can be silent for
 # 20-40 min; 1200s caused spurious kill-thrash on 2026-08-20.  Training
 # logs every 50 steps, so a 40-min silence there is a real relay hang.
-STALE_S=${STALE_S:-2400}
-say() { echo "[orch4 $(date +%H:%M:%S)] $*" >> "$LOG"; }
-
-kill_tree() {
-  local w=$1 c
-  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
-  kill "$w" 2>/dev/null
-  sleep 10
-  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
-  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
-  sleep 5
-}
+source "$(dirname "$0")/watchdog_lib.sh"
 
 watch_pid() {
   local pid=$1 logfile=$2 age
@@ -46,34 +35,6 @@ watch_pid() {
       return
     fi
   done
-}
-
-run_watched() {
-  local end=$1 logfile=$2 tries=$3; shift 3
-  local n=0 rc tpid age left
-  while [ "$n" -le "$tries" ]; do
-    left=$(( end - $(date +%s) ))
-    [ "$left" -lt 300 ] && { say "watched: <300s left, stopping"; return 2; }
-    say "watched start (attempt $((n+1)), ${left}s): $* >> $logfile"
-    touch "$logfile"
-    timeout "$left" "$@" >> "$logfile" 2>&1 &
-    tpid=$!
-    while kill -0 "$tpid" 2>/dev/null; do
-      sleep 60
-      age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
-      if [ "$age" -gt "$STALE_S" ]; then
-        say "watchdog: $logfile stale ${age}s -> kill + restart"
-        kill_tree "$tpid"
-        break
-      fi
-    done
-    wait "$tpid" 2>/dev/null; rc=$?
-    say "watched exit rc=$rc"
-    [ "$rc" -eq 0 ] && return 0
-    [ "$rc" -eq 124 ] && return 124
-    n=$((n+1)); sleep 20
-  done
-  return 1
 }
 
 points_done() { wc -l < runs_depth/summary.jsonl 2>/dev/null || echo 0; }

@@ -16,18 +16,7 @@ WALL=${1:?usage: sphere_rerun_r4.sh <wall-epoch> [wait-pid]}
 WAIT=${2:-0}
 LOG=/tmp/sphere_rerun.log
 RUNLOG=/tmp/sphere_e2e2.log
-STALE_S=${STALE_S:-2400}
-say() { echo "[sphere $(date +%H:%M:%S)] $*" >> "$LOG"; }
-
-kill_tree() {
-  local w=$1 c
-  c=$(ps --ppid "$w" -o pid= 2>/dev/null | tr -d ' ')
-  kill "$w" 2>/dev/null
-  sleep 10
-  kill -0 "$w" 2>/dev/null && kill -9 "$w" 2>/dev/null
-  if [ -n "$c" ] && kill -0 "$c" 2>/dev/null; then kill -9 "$c" 2>/dev/null; fi
-  sleep 5
-}
+source "$(dirname "$0")/watchdog_lib.sh"
 
 done_rows() { cat runs_sphere/results/*/output.txt 2>/dev/null | wc -l; }
 
