@@ -47,14 +47,23 @@ run_watched "$end_b" /tmp/rate2d_stages.log 0 \
   python -u tools/rate2d_stages.py
 say "phase B rc=$?"
 
+# ---- phase B2: eval per-round budget profile (writes /tmp/eval_spi_choice)
+end_b2=$(( $(date +%s) + 2700 )); [ "$end_b2" -gt "$WALL" ] && end_b2=$WALL
+say "phase B2: eval spi profile"
+run_watched "$end_b2" /tmp/eval_profile.log 1 \
+  python -u tools/eval_profile.py
+say "phase B2 rc=$? choice=$(cat /tmp/eval_spi_choice 2>/dev/null)"
+
 # ---- phase C: Tanks&Temples 1080p E2E (bounded ~1.6h)
 end_c=$(( $(date +%s) + 6000 )); [ "$end_c" -gt "$WALL" ] && end_c=$WALL
-say "phase C: T&T Spheres E2E"
+EVAL_SPI=$(cat /tmp/eval_spi_choice 2>/dev/null || echo 8)
+say "phase C: T&T Spheres E2E (eval_spi=$EVAL_SPI)"
 run_watched "$end_c" /tmp/tanks_e2e.log 2 \
   python -u train_cnc_tank_temples.py --data_root data_tanks --scene Spheres \
     --lmbda 2e-3 --max_steps 300 --max_eval_images 1 \
     --sample_num 100000 --n_features 4 --ctx_grad 0 \
     --rate_update_interval 4 --out_root runs_tanks \
+    --eval_spi "$EVAL_SPI" \
     --checkpoint_path runs_tanks/ckpt_spheres_tt.npz
 say "phase C rc=$?"
 

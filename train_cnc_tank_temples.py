@@ -52,6 +52,11 @@ def main():
                         help="0: stop-gradient the coarser-level context "
                              "lookups in the rate estimate (skips their "
                              "scatter-heavy backward; see EntropyConfig)")
+    parser.add_argument("--eval_spi", type=int, default=None,
+                        help="eval per-round sample budget "
+                             "(RenderConfig.eval_samples_per_iter); the "
+                             "overnight orchestrator passes the value "
+                             "tools/eval_profile.py measured fastest")
     parser.add_argument("--decode_only", action="store_true",
                         help="rebuild the field from bitstreams/<scene>/ in "
                              "a fresh process, render the test set, report "
@@ -86,6 +91,9 @@ def main():
                                     height=256, split="test")
         render = RenderConfig(visible_frac=args.visible_frac)
         dataset_name = "Procedural"
+    if args.eval_spi:
+        render = dataclasses.replace(render,
+                                     eval_samples_per_iter=args.eval_spi)
 
     cfg = CNCConfig(
         model=ModelConfig(
