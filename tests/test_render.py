@@ -289,6 +289,33 @@ class TestModelSmoke:
         np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_e),
                                    atol=2e-2)
 
+    def test_eval_round_budget_invariance(self):
+        """The per-round sample budget (eval_samples_per_iter / --eval_spi)
+        is a pure scheduling knob: any budget must produce the same image —
+        rays resume from cursors, so round boundaries only regroup the same
+        (ray, t) samples.  Guards the on-hardware tuning path
+        (tools/eval_profile.py) against a correctness regression."""
+        mcfg = ModelConfig(n_features_per_level=2, n_neurons=32,
+                           resolutions_3d=(10, 18, 34),
+                           resolutions_2d=(18, 34),
+                           log2_hashmap_size=10, log2_hashmap_size_2D=10,
+                           pe_num_freqs=4)
+        params = rf.init_radiance_field(jax.random.PRNGKey(0), mcfg)
+        binaries = occupancy_from_scene(SCENE, 64, RCFG.render_step_size)
+        poses = cameras.look_at_poses(1, radius=3.0)
+        K = jnp.asarray([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+        rays = cameras.image_rays(K, jnp.asarray(poses[0]), 16, 16)
+        outs = []
+        for spi in (2, 8, 64):
+            cfg = dataclasses.replace(RCFG, eval_samples_per_iter=spi)
+            rgb, op, _ = renderer.render_image(
+                params, mcfg, cfg, AABB, binaries, rays.origins,
+                rays.viewdirs, jnp.ones(3))
+            outs.append((np.asarray(rgb), np.asarray(op)))
+        for rgb, op in outs[1:]:
+            np.testing.assert_allclose(rgb, outs[0][0], atol=1e-5)
+            np.testing.assert_allclose(op, outs[0][1], atol=1e-5)
+
     def test_render_image_progress_heartbeat(self):
         """render_image's progress_fn fires every progress_every chunks and
         at the final chunk — the watchdog heartbeat long 800^2 evals rely on
