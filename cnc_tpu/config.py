@@ -178,6 +178,12 @@ class EntropyConfig:
     sample_num_2d: Optional[int] = 65536
     # budget of occupancy-masked vertices entering the 3D context model per step
     v_ctx_cap: int = 1 << 21
+    # per-window budget of footprint-masked rows entering the 2D context
+    # model (the 2D twin of v_ctx_cap: only masked rows contribute to the
+    # per-entry pooling, so encoding only them is exact while the budget
+    # holds; None = reference-faithful full-window encode).  Training-only —
+    # the codec's integer path is always full-coverage.
+    v_ctx_cap_2d: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -994,23 +994,53 @@ class ContextModels:
         # of the rate graph (their scatter-heavy backward is skipped); the
         # coded entries keep their direct bernoulli-bits gradient below
         ctx_src = tbl2 if cfg.ctx_grad else jax.lax.stop_gradient(tbl2)
-        ctx = enc.grid_encode(pts, ctx_src, self.spec2, level - cln, level,
-                              occ_mask=mask2d,
-                              mask_offsets=self.mask2d_offsets)
-        feats = [ctx]
-        if frac_plane is not None:
-            ctx_pn = enc.grid_encode_given_table(
-                pts, frac_plane, self.pn_res, occ_mask=mask2d,
-                mask_offset=self.pn_mask_offset)
-            feats.append(ctx_pn)
-        feats.append(jnp.broadcast_to(pg_n[None, None], (w, 1)))
-        mean = self.apply_ctx2d(ent_params["ctx2d"], level,
-                                jnp.concatenate(feats, -1))
-
         slots = jnp.clip(slots, 0, n_e - 1)
-        cnt = _segment_tail_values(occ_block.astype(jnp.float32), slots,
-                                   jnp.ones_like(occ_block), n_e)
-        msum = _segment_tail_values(mean, slots, occ_block, n_e)
+        cap = cfg.v_ctx_cap_2d
+        if cap is not None and cap < w:
+            # compact the footprint-masked rows to a static context budget
+            # (the 2D twin of _bits_3d_sampled's v_ctx_cap): only masked
+            # rows enter the pooling below, so encoding ONLY them is exact
+            # whenever the budget holds all of them; beyond-budget rows are
+            # dropped from the pooling entirely (their zero means must not
+            # dilute the per-entry probabilities), like the 3D path.
+            # Training-only — the codec's integer twin (pool_2d_level_int)
+            # is always full-coverage.
+            src, total = scatter_ops.compact_mask_indices(occ_block, cap)
+            cvalid = jnp.arange(cap) < jnp.minimum(total, cap)
+            pts_c = pts[src]
+            ctx = enc.grid_encode(pts_c, ctx_src, self.spec2,
+                                  level - cln, level, occ_mask=mask2d,
+                                  mask_offsets=self.mask2d_offsets)
+            feats = [ctx]
+            if frac_plane is not None:
+                feats.append(enc.grid_encode_given_table(
+                    pts_c, frac_plane, self.pn_res, occ_mask=mask2d,
+                    mask_offset=self.pn_mask_offset))
+            feats.append(jnp.broadcast_to(pg_n[None, None], (cap, 1)))
+            mean = self.apply_ctx2d(ent_params["ctx2d"], level,
+                                    jnp.concatenate(feats, -1))
+            # pool in the compacted layout: src ascends, so slots[src] stays
+            # sorted-contiguous per entry (see the 3D pooling note)
+            cslot = slots[src]
+            cnt = _segment_tail_values(cvalid.astype(jnp.float32), cslot,
+                                       cvalid, n_e)
+            msum = _segment_tail_values(mean, cslot, cvalid, n_e)
+        else:
+            ctx = enc.grid_encode(pts, ctx_src, self.spec2, level - cln,
+                                  level, occ_mask=mask2d,
+                                  mask_offsets=self.mask2d_offsets)
+            feats = [ctx]
+            if frac_plane is not None:
+                ctx_pn = enc.grid_encode_given_table(
+                    pts, frac_plane, self.pn_res, occ_mask=mask2d,
+                    mask_offset=self.pn_mask_offset)
+                feats.append(ctx_pn)
+            feats.append(jnp.broadcast_to(pg_n[None, None], (w, 1)))
+            mean = self.apply_ctx2d(ent_params["ctx2d"], level,
+                                    jnp.concatenate(feats, -1))
+            cnt = _segment_tail_values(occ_block.astype(jnp.float32), slots,
+                                       jnp.ones_like(occ_block), n_e)
+            msum = _segment_tail_values(mean, slots, occ_block, n_e)
         pooled = msum / jnp.maximum(cnt, 1.0)[:, None]
         covered = cnt > 0
         values_q = tbl2[t.offset + evals]

@@ -483,3 +483,58 @@ class TestSegmentTails:
         # gradient of sum over segments routes 1.0 to valid rows only
         g = np.asarray(jax.grad(lambda x: jnp.sum(fn(x)))(jnp.asarray(x)))
         np.testing.assert_allclose(g, valid.astype(np.float32), atol=1e-6)
+
+
+class TestCtx2DBudget:
+    """v_ctx_cap_2d: the 2D twin of the 3D ctx-vertex budget (round 5).
+
+    Only footprint-masked rows carry pooling weight, so compact-then-encode
+    is EXACT while the budget holds every masked row; overflow drops rows
+    from the pooling like the 3D path (never biasing covered entries with
+    zero means)."""
+
+    def _capped(self, ctx, cap):
+        import copy
+        c2 = copy.copy(ctx)
+        c2.cfg = dataclasses.replace(ctx.cfg, v_ctx_cap_2d=cap)
+        return c2
+
+    def test_capped_bits_exact_when_budget_holds(self, ctx, binaries, cache):
+        key = jax.random.PRNGKey(21)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(23)
+        tables = {k: jnp.asarray(np.sign(rng.standard_normal(
+            (spec.total_entries, 2)) + 0.1).astype(np.float32))
+            for k, spec in (("xyz", ctx.spec3), ("xy", ctx.spec2),
+                            ("xz", ctx.spec2), ("yz", ctx.spec2))}
+        full = float(ctx.rate_bits_2d(ent_params, tables, key, cache))
+        # budget one BELOW the window size takes the compacted path but
+        # still holds every masked row at 15% occupancy
+        w_max = max(t.max_win_pts for t in ctx.tables2d.values())
+        capped = float(self._capped(ctx, w_max - 1).rate_bits_2d(
+            ent_params, tables, key, cache))
+        assert np.isclose(full, capped, rtol=1e-5), (full, capped)
+
+    def test_overflow_drops_rows_from_pooling(self, ctx, binaries, cache):
+        key = jax.random.PRNGKey(25)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(27)
+        level = 1
+        t = ctx.tables2d[level]
+        tbl2 = jnp.asarray(np.sign(rng.standard_normal(
+            (ctx.spec2.total_entries, 2)) + 0.1).astype(np.float32))
+        tbl3 = jnp.asarray(np.sign(rng.standard_normal(
+            (ctx.spec3.total_entries, 2)) + 0.1).astype(np.float32))
+        frac = ctx.pn_frac_plane(tbl3, cache["pn"]["xy"])
+        args = (ent_params, tbl2, level, jnp.float32(0.5), frac,
+                cache["bin2d"][0], cache["mask2d"][0], jnp.int32(0),
+                t.n_entries, t.n_points)
+        _, cov_full, _ = ctx.pool_2d_level(*args)
+        small = self._capped(ctx, 32)
+        pooled_s, cov_small, _ = small.pool_2d_level(*args)
+        n_full, n_small = int(cov_full.sum()), int(cov_small.sum())
+        assert n_small < n_full          # overflow really dropped entries
+        assert 0 < n_small <= 32
+        # dropped entries are EXCLUDED (covered=False), never billed at a
+        # zero-mean probability
+        assert np.all(np.isfinite(np.asarray(pooled_s)))

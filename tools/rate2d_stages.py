@@ -214,6 +214,49 @@ def main():
 
     bench("rate_bits_2d grad (reference impl)",
           jax.grad(ref_loss, argnums=(0, 1)), tables, ent_params)
+
+    # ---- footprint-mask fill per window: the fraction of each window's
+    # rows that actually carry pooling weight — the upper bound on what the
+    # v_ctx_cap_2d compaction can save (round-5 lever)
+    import copy
+    import dataclasses as dc
+
+    @jax.jit
+    def _fills(cache, tbls):
+        out = []
+        for ai in range(3):
+            for l in ctx.ctx_levels_2d:
+                t = ctx.tables2d[l]
+                a = tbls["2d"]
+                start_v = a["cum"][t.c_off]
+                end_v = a["cum"][t.c_off + t.sample_n]
+                (coords, _), valid = cm._window_slices(
+                    a, ("coords", "vert_entry"), t.v_off, start_v, end_v,
+                    t.max_win_pts, t.n_points)
+                xi = (coords >> 16).astype(jnp.int32)
+                yi = (coords & 0xFFFF).astype(jnp.int32)
+                occ = cache["mask2d"][ai][
+                    ctx.mask2d_offsets[l] + xi * t.resolution + yi] & valid
+                out.append(jnp.sum(occ) / occ.shape[0])
+        return jnp.stack(out)
+
+    fills = _fills(cache, tbls)
+    i = 0
+    for ai, ax in enumerate(("xy", "xz", "yz")):
+        for l in ctx.ctx_levels_2d:
+            log(f"window fill {ax} L{l}: w={ctx.tables2d[l].max_win_pts} "
+                f"masked={float(fills[i]):.3f}")
+            i += 1
+
+    for cap in (1 << 18, 1 << 19):
+        c2 = copy.copy(ctx)
+        c2.cfg = dc.replace(ctx.cfg, v_ctx_cap_2d=cap)
+
+        def cap_loss(tb, e, c2=c2):
+            return c2.rate_bits_2d(e, tb, key, cache, tbls)
+
+        bench(f"rate_bits_2d grad (v_ctx_cap_2d=2^{cap.bit_length()-1})",
+              jax.grad(cap_loss, argnums=(0, 1)), tables, ent_params)
     log("done")
 
 
