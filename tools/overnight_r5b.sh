@@ -49,6 +49,14 @@ run_watched "$end_b2" /tmp/eval_profile.log 1 \
   python -u tools/eval_profile.py
 say "phase B2 rc=$? choice=$(cat /tmp/eval_spi_choice 2>/dev/null)"
 
+# ---- phase B: rate2d stage profile + v_ctx_cap_2d pricing (feeds the
+# ROOFLINE writeup and the bench fast config BEFORE the round's bench run)
+end_b=$(( $(date +%s) + 2400 )); [ "$end_b" -gt "$WALL" ] && end_b=$WALL
+say "phase B: rate2d stage profile"
+run_watched "$end_b" /tmp/rate2d_stages.log 0 \
+  python -u tools/rate2d_stages.py
+say "phase B rc=$?"
+
 # ---- phase C: Tanks&Temples 1080p E2E (bounded ~1.9h)
 end_c=$(( $(date +%s) + 7000 )); [ "$end_c" -gt "$WALL" ] && end_c=$WALL
 EVAL_SPI=$(cat /tmp/eval_spi_choice 2>/dev/null || echo 8)
@@ -69,10 +77,11 @@ if [ -f runs_20k/ckpt_10k_l0.002_k4.npz ] \
   cp runs_20k/ckpt_10k_l0.002_k4.npz runs_depth10k/ckpt_l0.002_k4.npz
 fi
 now=$(date +%s)
-avail=$(( WALL - now - 600 ))
-# fixed overhead: tables+compiles (~1500) + 2e-3 resume point's pipeline
-# (~1500, runs FIRST so its row banks early) + 7e-4 tail (~600)
-steps=$(( (avail - 3600) * 4 / 5 ))     # 1.25 s/step
+avail=$(( WALL - now - 300 ))
+# fixed overhead: tables+compiles (~900 measured in-process) + 2e-3 resume
+# point's pipeline (~900, runs FIRST so its row banks early) + 7e-4 tail
+# (~400; capval measured 340s eval+encode+decode+quant at these shapes)
+steps=$(( (avail - 2600) * 4 / 5 ))     # 1.25 s/step
 [ "$steps" -gt 10000 ] && steps=10000
 if [ "$steps" -ge 4000 ]; then
   say "phase DE: 2e-3@10k resume + 7e-4@4 for $steps steps (avail ${avail}s)"
@@ -85,14 +94,4 @@ else
   say "phase DE skipped: only ${avail}s left"
 fi
 
-# ---- phase B: rate2d stage profile, with whatever remains
-left=$(( WALL - $(date +%s) ))
-if [ "$left" -gt 1500 ]; then
-  say "phase B: rate2d stage profile (${left}s left)"
-  run_watched "$WALL" /tmp/rate2d_stages.log 0 \
-    python -u tools/rate2d_stages.py
-  say "phase B rc=$?"
-else
-  say "phase B skipped (${left}s left)"
-fi
 say "r5b all done; TPU free"
