@@ -210,6 +210,10 @@ def main():
                                       sample_num_2d=128,
                                       ctx_grad=ctx_grad,
                                       v_ctx_cap=1 << 11,
+                                      # < the tiny window size (2081), so
+                                      # the contract tests exercise the
+                                      # compacted 2D ctx path
+                                      v_ctx_cap_2d=1 << 10,
                                       max_points_per_chunk=1 << 14),
                 render=dataclasses.replace(
                     RenderConfig(), render_step_size=0.05, occ_resolution=16,
