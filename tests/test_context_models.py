@@ -538,3 +538,26 @@ class TestCtx2DBudget:
         # dropped entries are EXCLUDED (covered=False), never billed at a
         # zero-mean probability
         assert np.all(np.isfinite(np.asarray(pooled_s)))
+
+    def test_capped_bits_gradient_matches_full(self, ctx, binaries, cache):
+        """The compacted path must preserve the OBJECTIVE, not just its
+        value: gradients wrt the plane tables and the context models agree
+        with the full-window path when the budget holds."""
+        key = jax.random.PRNGKey(29)
+        ent_params = ctx.init_params(key)
+        rng = np.random.default_rng(31)
+        tables = {k: jnp.asarray(np.sign(rng.standard_normal(
+            (spec.total_entries, 2)) + 0.1).astype(np.float32))
+            for k, spec in (("xyz", ctx.spec3), ("xy", ctx.spec2),
+                            ("xz", ctx.spec2), ("yz", ctx.spec2))}
+        w_max = max(t.max_win_pts for t in ctx.tables2d.values())
+        capped = self._capped(ctx, w_max - 1)
+
+        def loss(c, tb, e):
+            return c.rate_bits_2d(e, tb, key, cache)
+
+        g_full = jax.grad(loss, argnums=(1, 2))(ctx, tables, ent_params)
+        g_cap = jax.grad(loss, argnums=(1, 2))(capped, tables, ent_params)
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_cap)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
