@@ -26,11 +26,16 @@ while true; do
   case "$last" in *step=*) ;; *) continue ;; esac
   age=$(( $(date +%s) - $(stat -c %Y "$LOGF" 2>/dev/null || echo 0) ))
   [ "$age" -lt "$THRESH" ] && continue
-  # orchestrator -> (timeout|sleep) -> python: kill the grandchildren
+  # orchestrator -> (timeout|sleep) -> python: kill the grandchildren, but
+  # ONLY those whose stdout is THIS log — a later phase's process must
+  # never be killed because an earlier phase's log went stale with a
+  # step= line at its tail
   ps --ppid "$ORCH" -o pid= | while read -r t; do
     [ -n "$t" ] || continue
     ps --ppid "$t" -o pid= | while read -r p; do
       [ -n "$p" ] || continue
+      out=$(readlink "/proc/$p/fd/1" 2>/dev/null)
+      [ "$out" = "$LOGF" ] || continue
       echo "[$(date +%H:%M:%S)] $LOGF stale ${age}s -> kill -9 $p" >> "$GLOG"
       kill -9 "$p" 2>/dev/null
     done
