@@ -90,6 +90,17 @@ def main():
                          "at steady state on the flagship depth run, so "
                          "2^20 is the candidate for the round-5 cap-shrink "
                          "RD validation (ROOFLINE lever #2)")
+    ap.add_argument("--pn_frac_cap", type=int, default=0,
+                    help="override EntropyConfig.pn_frac_sample_cap (0 = "
+                         "default 2^21).  ROOFLINE 2.1 lever: the "
+                         "dimension-wise prior histogram is 73%% of rate2d; "
+                         "2^19 cuts it ~4x.  RD-validate before adopting.")
+    ap.add_argument("--v_ctx_cap_2d", type=int, default=0,
+                    help="override EntropyConfig.v_ctx_cap_2d (0 = default "
+                         "None = full windows).  ROOFLINE 2.1 lever: the "
+                         "fill-sized cap (~2^17) compacts every plane "
+                         "window; drops rows beyond the budget, so "
+                         "RD-validate before adopting.")
     ap.add_argument("--point_ckpt_every", type=int, default=500,
                     help="per-point checkpoint interval in steps (0 = off). "
                          "Every point writes <out_root>/ckpt_<tag>.npz; a "
@@ -130,7 +141,11 @@ def main():
                               sample_num=args.sample_num,
                               ctx_grad=bool(args.ctx_grad),
                               **({"v_ctx_cap": args.v_ctx_cap}
-                                 if args.v_ctx_cap else {})),
+                                 if args.v_ctx_cap else {}),
+                              **({"pn_frac_sample_cap": args.pn_frac_cap}
+                                 if args.pn_frac_cap else {}),
+                              **({"v_ctx_cap_2d": args.v_ctx_cap_2d}
+                                 if args.v_ctx_cap_2d else {})),
         render=dataclasses.replace(RenderConfig(), **render_kw),
         train=dataclasses.replace(TrainConfig(), **train_kw),
     )
