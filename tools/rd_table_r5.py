@@ -25,7 +25,8 @@ def rows(path):
 def main():
     table = []
     for path, note in (("runs_20k/summary.jsonl", "20k reference schedule"),
-                       ("runs_depth10k/summary.jsonl", "10k depth pair")):
+                       ("runs_depth10k/summary.jsonl", "10k depth pair"),
+                       ("runs_depth20k/summary.jsonl", "20k depth pair")):
         for r in rows(path):
             table.append((r["lmbda"], r["steps"], r, note))
     if not table:
@@ -48,18 +49,19 @@ def main():
               f"{r['embed_MB_est']:.4f} | {r['ssim']:.4f} | "
               f"{r.get('step_s', float('nan')):.2f} |")
 
-    ten_k = {lm: r for lm, st, r, _ in table if st >= 9000 and st <= 12000}
-    if len(ten_k) >= 2:
-        lams = sorted(ten_k)
-        lo, hi = lams[0], lams[-1]
-        mb_lo = ten_k[lo]["embed_MB_codec"]
-        mb_hi = ten_k[hi]["embed_MB_codec"]
-        spread = mb_lo / mb_hi - 1.0
-        mono = all(ten_k[a]["embed_MB_codec"] >= ten_k[b]["embed_MB_codec"]
-                   - 1e-9 for a, b in zip(lams, lams[1:]))
-        print(f"\n10k-depth separation: coded(λ={lo:g}) = {mb_lo:.4f} MB vs "
-              f"coded(λ={hi:g}) = {mb_hi:.4f} MB -> spread "
-              f"{spread:+.1%}, monotone={mono}")
+    for name, lo_s, hi_s in (("10k", 9000, 12000), ("20k", 18000, 21000)):
+        band = {lm: r for lm, st, r, _ in table if lo_s <= st <= hi_s}
+        if len(band) >= 2:
+            lams = sorted(band)
+            lo, hi = lams[0], lams[-1]
+            mb_lo = band[lo]["embed_MB_codec"]
+            mb_hi = band[hi]["embed_MB_codec"]
+            spread = mb_lo / mb_hi - 1.0
+            mono = all(band[a]["embed_MB_codec"] >= band[b]["embed_MB_codec"]
+                       - 1e-9 for a, b in zip(lams, lams[1:]))
+            print(f"\n{name}-depth separation: coded(λ={lo:g}) = {mb_lo:.4f} "
+                  f"MB vs coded(λ={hi:g}) = {mb_hi:.4f} MB -> spread "
+                  f"{spread:+.1%}, monotone={mono}")
     return 0
 
 
